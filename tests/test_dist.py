@@ -1,0 +1,71 @@
+"""Distributed shuffle join on an emulated 8-device CPU mesh — multiset
+parity with the single-chip engine and the native oracle (SURVEY.md §4's
+required multi-device tests; the reference has no distribution at all)."""
+import numpy as np
+import pytest
+
+import jax
+
+from tpujoin import oracle
+from tpujoin.parallel.mesh import make_mesh
+from tpujoin.parallel.shuffle_join import distributed_hash_join
+
+
+needs_devices = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 emulated devices")
+
+
+def _rand(n, lo, hi, seed):
+    return np.random.default_rng(seed).integers(lo, hi + 1, n).astype(np.int32)
+
+
+@needs_devices
+@pytest.mark.parametrize("n,m,dom,seed", [
+    (4096, 4096, 500, 0),
+    (1000, 3000, 100, 1),
+    (4097, 999, 50, 2),     # sizes not divisible by mesh
+])
+def test_distributed_matches_oracle(n, m, dom, seed):
+    rk = _rand(n, 1, dom, seed)
+    sk = _rand(m, 1, dom, seed + 7)
+    mesh = make_mesh(8)
+    r_ids, s_ids = distributed_hash_join(
+        rk, sk, mesh=mesh, expected_matches=oracle.join_count(rk, sk))
+    assert oracle.check_join(rk, sk, r_ids, s_ids) == 1
+
+
+@needs_devices
+def test_distributed_empty_result():
+    rk = np.arange(1, 1001, dtype=np.int32)
+    sk = np.arange(100_000, 101_000, dtype=np.int32)
+    mesh = make_mesh(8)
+    r_ids, s_ids = distributed_hash_join(rk, sk, mesh=mesh, expected_matches=0)
+    assert len(r_ids) == 0
+    assert oracle.check_join(rk, sk, r_ids, s_ids) == 1
+
+
+@needs_devices
+def test_distributed_skewed_keys_overflow_retry():
+    # Zipf-like worst case: one heavy key owning ~30% of rows blows the
+    # uniform send-buffer estimate; the driver's detect-and-retry loop must
+    # still converge to the exact result.
+    rng = np.random.default_rng(3)
+    rk = rng.integers(1, 200, 4000).astype(np.int32)
+    rk[:1200] = 42
+    sk = rng.integers(1, 200, 4000).astype(np.int32)
+    sk[:1200] = 42
+    mesh = make_mesh(8)
+    r_ids, s_ids = distributed_hash_join(
+        rk, sk, mesh=mesh, slack=1.1,
+        expected_matches=oracle.join_count(rk, sk))
+    assert oracle.check_join(rk, sk, r_ids, s_ids) == 1
+
+
+@needs_devices
+def test_mesh_subset():
+    rk = _rand(512, 1, 64, 4)
+    sk = _rand(512, 1, 64, 5)
+    mesh = make_mesh(4)
+    r_ids, s_ids = distributed_hash_join(
+        rk, sk, mesh=mesh, expected_matches=oracle.join_count(rk, sk))
+    assert oracle.check_join(rk, sk, r_ids, s_ids) == 1

@@ -1,0 +1,67 @@
+"""Hash aggregate: group-by-count over an i32 key column.
+
+One of the extension operators BASELINE.json requires ("hash aggregate
+(group-by count), 100M rows"); the reference names aggregation as future
+work (reference projectDescription.md:20-32).
+
+TPU design: no hash table at all — sort the keys (the same primitive that
+backs the join build), mark run boundaries, and compact boundary positions.
+Group counts are adjacent-boundary differences. Entirely vectorized:
+sort + one cumsum + one scatter; skew (a heavy key) costs nothing because a
+run's length never enters a loop bound.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpujoin.ops.filter import filter_materialize
+from tpujoin.utils.shapes import round_up
+
+
+@jax.jit
+def group_count(keys: jax.Array) -> jax.Array:
+    """Count phase: number of distinct keys."""
+    sk = jax.lax.sort(keys)
+    is_boundary = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]]
+    )
+    return jnp.sum(is_boundary.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def group_materialize(keys: jax.Array, capacity: int):
+    """Materialize phase: (unique_keys, counts, num_groups), padded to
+    capacity (pad keys = -1, pad counts = 0)."""
+    n = keys.shape[0]
+    sk = jax.lax.sort(keys)
+    is_boundary = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]]
+    )
+    starts, num_groups = filter_materialize(is_boundary, capacity)
+    valid = starts >= 0
+    safe_starts = jnp.where(valid, starts, 0)
+    group_keys = jnp.where(valid, jnp.take(sk, safe_starts), -1)
+    # count of group g = start of group g+1 (or n for the last group) - start
+    next_start = jnp.concatenate(
+        [starts[1:], jnp.full((1,), -1, jnp.int32)]
+    )
+    is_last = jnp.arange(capacity, dtype=jnp.int32) == (num_groups - 1)
+    ends = jnp.where(is_last, n, next_start)
+    counts = jnp.where(valid, ends - safe_starts, 0)
+    return group_keys.astype(jnp.int32), counts.astype(jnp.int32), num_groups
+
+
+def group_by_count(keys, *, pad_multiple: int = 1 << 16):
+    """Driver: exact-size (unique_keys, counts) as numpy arrays, keys
+    ascending."""
+    keys = jnp.asarray(keys)
+    ngroups = int(group_count(keys))
+    if ngroups == 0:
+        return np.empty((0,), np.int32), np.empty((0,), np.int32)
+    cap = round_up(ngroups, pad_multiple)
+    gk, gc, _ = group_materialize(keys, cap)
+    return np.asarray(gk[:ngroups]), np.asarray(gc[:ngroups])

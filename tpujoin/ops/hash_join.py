@@ -1,0 +1,216 @@
+"""Equi-join over i32 key columns — the engine's flagship operator.
+
+Capability parity with the reference's chained hash join
+(reference join_v1.mlir:525-649 / join_v2.mlir:607-730): given a build
+relation R and probe relation S, produce all (rowID_R, rowID_S) pairs with
+R.key == S.key, with *exact-size* result allocation, compared to the oracle
+as a multiset (reference shared_stuff/shared.cpp:129-171).
+
+TPU-first design — none of the reference's machinery survives translation:
+
+===========================  =============================================
+reference (single GPU SIMT)  this engine (TPU vector units)
+===========================  =============================================
+linked-list hash table built
+with atomic fetch-add +      build side *sorted by key* (XLA's vectorized
+atomic-exchange inserts      on-device sort); the sorted order IS the hash
+(join_v1.mlir:213-249)       table — every key's matches are contiguous
+count kernel: per-thread     count = searchsorted(sorted_keys, probe_keys,
+chain walk (scf.while,       left/right); counts = hi - lo. One vector op,
+join_v1.mlir:342-367)        no pointer chasing, skew-proof
+thread-0 serial block        exclusive prefix sum = jnp.cumsum on the whole
+prefix sum + atomic global   counts vector (the reference's two-level
+offset (join_v1.mlir:        shmem scan + atomic collapses into one scan)
+375-407)
+probe kernel: chain re-walk, result expansion: for output slot t, the
+store at per-thread          source probe row is searchsorted(offsets, t);
+precomputed offset           all writes are dense vector stores at static
+(join_v1.mlir:483-514)       offsets — no atomics, race-free by dataflow
+===========================  =============================================
+
+The count->allocate->materialize split is kept (it is the reference's
+exact-size-result contract, join_v1.mlir:591-605): count returns the result
+size to the host, the host rounds capacity up to a bucket (to bound
+recompilation), and materialize runs at that static capacity.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpujoin.utils.shapes import round_up
+
+# searchsorted strategy: 'sort' concatenates queries with the sorted table
+# and sorts once — O((n+m) log(n+m)) fully-vectorized comparisons, the
+# TPU-friendly choice (the default 'scan' method is sequential per element).
+_SS_METHOD = "sort"
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class HashJoinTable:
+    """The built side of the join: keys sorted on device + the permutation.
+
+    The sorted order plays the role of the reference's bucket array + linked
+    list (reference join_v1.mlir:25-39 allocates head/next/key/rowID arrays):
+    rows with equal keys are contiguous, so a "bucket" is a [lo, hi) range
+    found by binary search instead of a pointer chain.
+    """
+
+    sorted_keys: jax.Array   # [n] i32, ascending
+    sorted_ids: jax.Array    # [n] i32, original row ids under the sort
+
+    def tree_flatten(self):
+        return (self.sorted_keys, self.sorted_ids), None
+
+    @classmethod
+    def tree_unflatten(cls, _, children):
+        return cls(*children)
+
+    @property
+    def num_rows(self) -> int:
+        return int(self.sorted_keys.shape[0])
+
+
+@jax.jit
+def build(build_keys: jax.Array) -> HashJoinTable:
+    """Build phase (replaces @buildTable + @initializeHashTable,
+    reference join_v1.mlir:54-108): one stable key sort."""
+    n = build_keys.shape[0]
+    ids = jnp.arange(n, dtype=jnp.int32)
+    sk, sid = jax.lax.sort((build_keys, ids), num_keys=1)
+    return HashJoinTable(sk, sid)
+
+
+@jax.jit
+def probe_count(ht: HashJoinTable, probe_keys: jax.Array):
+    """Count phase (replaces @countRows, reference join_v1.mlir:110-147).
+
+    Returns (lo, counts): per-probe-row bucket start in the sorted build
+    side and match count. total = counts.sum() is the exact result size the
+    reference memcpys back to the host (join_v1.mlir:140-144).
+    """
+    lo = jnp.searchsorted(ht.sorted_keys, probe_keys, side="left", method=_SS_METHOD)
+    hi = jnp.searchsorted(ht.sorted_keys, probe_keys, side="right", method=_SS_METHOD)
+    counts = (hi - lo).astype(jnp.int32)
+    return lo.astype(jnp.int32), counts
+
+
+@jax.jit
+def probe_count_masked(ht: HashJoinTable, probe_keys: jax.Array, valid_rows):
+    """probe_count with rows >= valid_rows forced to zero matches.
+
+    ``valid_rows`` is a *traced* scalar, so a padded tail chunk reuses the
+    full chunk's compiled executable instead of forcing a recompile for its
+    odd shape (compile latency dominates small queries on remote-compile
+    setups). Zero-count trailing rows are never selected by materialize
+    (their exclusive offsets equal the total).
+    """
+    lo, counts = probe_count(ht, probe_keys)
+    in_range = jnp.arange(probe_keys.shape[0], dtype=jnp.int32) < valid_rows
+    return lo, jnp.where(in_range, counts, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def probe_materialize(
+    ht: HashJoinTable,
+    lo: jax.Array,
+    counts: jax.Array,
+    capacity: int,
+    probe_base: int | jax.Array = 0,
+):
+    """Materialize phase (replaces @probeRelation, reference
+    join_v1.mlir:149-176): expand (lo, counts) into rowID pairs.
+
+    For output slot t in [0, capacity): the source probe row is the last row
+    whose exclusive-cumsum offset is <= t; its j-th match is build position
+    lo[row] + (t - offsets[row]). Slots >= total are padded with -1.
+
+    Returns (r_ids, s_ids, total) where r_ids/s_ids are [capacity] i32.
+    """
+    offsets = jnp.cumsum(counts) - counts          # exclusive prefix sum
+    total = offsets[-1] + counts[-1] if counts.shape[0] else jnp.int32(0)
+    t = jnp.arange(capacity, dtype=jnp.int32)
+    # 'right' picks the LAST row with offset <= t, skipping zero-count rows
+    # (they share an offset with their successor).
+    row = jnp.searchsorted(offsets, t, side="right", method=_SS_METHOD) - 1
+    row = jnp.clip(row, 0, counts.shape[0] - 1).astype(jnp.int32)
+    j = t - jnp.take(offsets, row)
+    bpos = jnp.take(lo, row) + j
+    bpos = jnp.clip(bpos, 0, ht.num_rows - 1)
+    valid = t < total
+    r_ids = jnp.where(valid, jnp.take(ht.sorted_ids, bpos), -1)
+    s_ids = jnp.where(valid, row + probe_base, -1)
+    return r_ids.astype(jnp.int32), s_ids.astype(jnp.int32), total
+
+
+def hash_join(
+    build_keys,
+    probe_keys,
+    *,
+    probe_chunk_rows: int | None = None,
+    result_pad_multiple: int = 1 << 20,
+    return_numpy: bool = True,
+):
+    """Full equi-join driver (replaces @main, reference join_v1.mlir:525-649).
+
+    Streams the probe side through the device in chunks (bounding the result
+    buffer — the reference's 1B-row config needs ~8 GB of result and the
+    reference allocates it all at once, join-performances.md:5), pulling each
+    chunk's exact size to the host and materializing at a bucketed capacity.
+
+    Returns (r_ids, s_ids): i32 arrays of exactly the result size, a multiset
+    of matching (build rowID, probe rowID) pairs in unspecified order.
+    """
+    build_keys = jnp.asarray(build_keys)
+    probe_keys = jnp.asarray(probe_keys)
+    m = int(probe_keys.shape[0])
+    chunk = m if probe_chunk_rows is None else min(probe_chunk_rows, max(m, 1))
+
+    ht = build(build_keys)
+    out_r, out_s = [], []
+    for start in range(0, m, chunk) if m else []:
+        end = min(start + chunk, m)
+        pk = jax.lax.slice_in_dim(probe_keys, start, end)
+        if end - start < chunk:
+            # pad the tail chunk to the common shape; padded rows are
+            # masked to zero matches below, so one compiled executable
+            # serves every chunk.
+            pk = jnp.pad(pk, (0, chunk - (end - start)))
+        lo, counts = probe_count_masked(ht, pk, jnp.int32(end - start))
+        # int32 sum is safe: a chunk's match count is bounded by
+        # probe_chunk_rows * build_rows matches only in the degenerate
+        # all-equal-keys case; callers bound chunks so totals stay < 2^31.
+        total = int(jnp.sum(counts))
+        if total == 0:
+            continue
+        cap = round_up(total, result_pad_multiple)
+        r_ids, s_ids, _ = probe_materialize(ht, lo, counts, cap, probe_base=start)
+        out_r.append(np.asarray(r_ids[:total]))
+        out_s.append(np.asarray(s_ids[:total]))
+
+    if not out_r:
+        r = np.empty((0,), np.int32)
+        s = np.empty((0,), np.int32)
+    else:
+        r = np.concatenate(out_r)
+        s = np.concatenate(out_s)
+    if return_numpy:
+        return r, s
+    return jnp.asarray(r), jnp.asarray(s)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def hash_join_device(build_keys, probe_keys, capacity: int):
+    """Single-jit fixed-capacity join: build + count + materialize fused.
+
+    For fully-on-device pipelines and benchmarking: the caller supplies the
+    result capacity (pad slots are -1); ``total`` reports the true size.
+    """
+    ht = build(build_keys)
+    lo, counts = probe_count(ht, probe_keys)
+    return probe_materialize(ht, lo, counts, capacity)

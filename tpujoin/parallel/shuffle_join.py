@@ -1,0 +1,216 @@
+"""Distributed shuffle hash join over a device mesh.
+
+The scale-out path BASELINE.json requires (configs 3-5) and the reference
+explicitly lacks (single GPU; "Partitioned Hash-Join" / "Relations that
+don't fit on GPU" are future work, reference projectDescription.md:23-24).
+
+Design (TPU-native, per the scaling-book recipe — mesh + sharding
+annotations + XLA collectives):
+
+1. Tables are row-sharded across a 1-D mesh. Each device assigns every local
+   row a target device with a multiplicative hash of its key
+   (:func:`tpujoin.ops.radix.partition_ids`) — co-partitioning: equal keys
+   land on the same device.
+2. Because ``all_to_all`` needs static shapes, each device compacts its rows
+   into a fixed-capacity [P, C] send buffer (per-peer capacity C with slack
+   over the expected n_local/P; unused slots carry id = -1). Ragged-to-fixed
+   is the TPU answer to the reference's exact-size memcpys.
+3. One ``jax.lax.all_to_all`` per table exchanges the buffers over ICI/DCN.
+4. Each device joins its received R rows against its received S rows with
+   the same sort + searchsorted + expand machinery as the single-chip op
+   (:mod:`tpujoin.ops.hash_join`), at a static local result capacity.
+5. ``psum`` reduces the exact global result count (the distributed analogue
+   of the reference's result-size memcpy, join_v1.mlir:140-144).
+
+Reserved sentinels in this path: build keys must not equal INT32_MAX and
+probe keys must not equal INT32_MIN (both far outside the benchmark key
+domain [1, 1e9], reference shared.cpp:13-14).
+
+Overflow of a send buffer or the local result capacity is *detected* (max
+over counts, psum'd out) and surfaced to the driver, which retries with more
+slack — never silently dropped. Heavy-hitter splitting for Zipf skew builds
+on this: see :func:`recommended_slack`.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tpujoin.ops.radix import partition_ids
+from tpujoin.parallel.mesh import ROW_AXIS, make_mesh
+from tpujoin.utils.shapes import cdiv, round_up
+
+_BUILD_PAD_KEY = jnp.int32(0x7FFFFFFF)   # sorts last, never matches a probe
+_PROBE_PAD_KEY = jnp.int32(-0x80000000)  # never matches a build key
+_SS = "sort"
+
+
+def _send_buffer(keys, ids, num_peers: int, capacity: int, pad_key):
+    """Compact local rows into a [num_peers, capacity] buffer by target
+    device. Rows with id < 0 (driver padding) are dropped. Returns
+    (buf_keys, buf_ids, max_count) — max_count > capacity means overflow."""
+    n = keys.shape[0]
+    pid = partition_ids(keys, num_peers)
+    pid = jnp.where(ids < 0, jnp.int32(num_peers), pid)  # padding sorts last
+    spid, skeys, sids = jax.lax.sort((pid, keys, ids), num_keys=1)
+    peers = jnp.arange(num_peers, dtype=jnp.int32)
+    starts = jnp.searchsorted(spid, peers, side="left", method=_SS).astype(jnp.int32)
+    ends = jnp.searchsorted(spid, peers, side="right", method=_SS).astype(jnp.int32)
+    counts = ends - starts
+    c = jax.lax.broadcasted_iota(jnp.int32, (num_peers, capacity), 1)
+    src = starts[:, None] + c
+    valid = c < counts[:, None]
+    src = jnp.clip(src, 0, max(n - 1, 0))
+    buf_keys = jnp.where(valid, jnp.take(skeys, src), pad_key)
+    buf_ids = jnp.where(valid, jnp.take(sids, src), -1)
+    return buf_keys, buf_ids, jnp.max(counts)
+
+
+def _local_join(bk, bid, pk, pid_, capacity: int):
+    """Sorted-build equi-join of the received rows, at static result
+    capacity. Mirrors ops.hash_join.{build,probe_count,probe_materialize}
+    but carries explicit global row ids through the exchange."""
+    bk = jnp.where(bid < 0, _BUILD_PAD_KEY, bk)
+    sk, sid = jax.lax.sort((bk, bid), num_keys=1)
+    pk_eff = jnp.where(pid_ < 0, _PROBE_PAD_KEY, pk)
+    lo = jnp.searchsorted(sk, pk_eff, side="left", method=_SS).astype(jnp.int32)
+    hi = jnp.searchsorted(sk, pk_eff, side="right", method=_SS).astype(jnp.int32)
+    counts = hi - lo
+    m = counts.shape[0]
+    offsets = jnp.cumsum(counts) - counts
+    total = offsets[-1] + counts[-1]
+    t = jnp.arange(capacity, dtype=jnp.int32)
+    row = jnp.searchsorted(offsets, t, side="right", method=_SS) - 1
+    row = jnp.clip(row, 0, m - 1).astype(jnp.int32)
+    j = t - jnp.take(offsets, row)
+    bpos = jnp.clip(jnp.take(lo, row) + j, 0, sk.shape[0] - 1)
+    valid = t < total
+    r_ids = jnp.where(valid, jnp.take(sid, bpos), -1)
+    s_ids = jnp.where(valid, jnp.take(pid_, row), -1)
+    return r_ids.astype(jnp.int32), s_ids.astype(jnp.int32), total.astype(jnp.int32)
+
+
+def make_shuffle_join_fn(
+    mesh,
+    send_cap_r: int,
+    send_cap_s: int,
+    local_result_cap: int,
+):
+    """Build the shard_map'd distributed join step for a given mesh + static
+    capacities. Returns fn(r_keys, r_ids, s_keys, s_ids) operating on
+    row-sharded global arrays, yielding row-sharded padded results plus
+    per-device exact counts and an overflow telemetry vector."""
+    num_peers = mesh.shape[ROW_AXIS]
+
+    def shard_fn(r_keys, r_ids, s_keys, s_ids):
+        rbk, rbi, r_max = _send_buffer(r_keys, r_ids, num_peers, send_cap_r,
+                                       _BUILD_PAD_KEY)
+        sbk, sbi, s_max = _send_buffer(s_keys, s_ids, num_peers, send_cap_s,
+                                       _PROBE_PAD_KEY)
+        # exchange: received[q] = what device q sent to me (ICI/DCN all_to_all)
+        rbk = jax.lax.all_to_all(rbk, ROW_AXIS, 0, 0)
+        rbi = jax.lax.all_to_all(rbi, ROW_AXIS, 0, 0)
+        sbk = jax.lax.all_to_all(sbk, ROW_AXIS, 0, 0)
+        sbi = jax.lax.all_to_all(sbi, ROW_AXIS, 0, 0)
+        r_ids_out, s_ids_out, local_total = _local_join(
+            rbk.reshape(-1), rbi.reshape(-1),
+            sbk.reshape(-1), sbi.reshape(-1),
+            local_result_cap,
+        )
+        # telemetry: [send_r overflow, send_s overflow, result overflow]
+        ovf = jnp.stack([
+            jax.lax.pmax(r_max, ROW_AXIS),
+            jax.lax.pmax(s_max, ROW_AXIS),
+            jax.lax.pmax(local_total, ROW_AXIS),
+        ])
+        return r_ids_out, s_ids_out, local_total[None], ovf
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(ROW_AXIS), P(ROW_AXIS), P(ROW_AXIS), P(ROW_AXIS)),
+        out_specs=(P(ROW_AXIS), P(ROW_AXIS), P(ROW_AXIS), P()),
+    )
+    return jax.jit(fn)
+
+
+def recommended_slack(distribution: str = "uniform") -> float:
+    """Send-buffer slack factor over the uniform expectation n_local/P.
+    Zipf workloads need more headroom until a heavy hitter exceeds one
+    device's share; the driver's retry loop covers the tail either way."""
+    return 2.0 if distribution == "uniform" else 4.0
+
+
+def distributed_hash_join(
+    r_keys,
+    s_keys,
+    *,
+    mesh=None,
+    slack: float = 2.0,
+    expected_matches: int | None = None,
+    max_retries: int = 3,
+):
+    """Driver: exact-size distributed equi-join over all mesh devices.
+
+    Pads both tables to a multiple of the mesh size, row-shards them,
+    runs the shuffle-join step, and trims each device's padded result to its
+    exact count. Retries with doubled capacities on detected overflow.
+
+    Returns (r_ids, s_ids) numpy arrays — global row-id pairs, multiset-equal
+    to the single-chip :func:`tpujoin.ops.hash_join.hash_join` result.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    ndev = mesh.shape[ROW_AXIS]
+    r_keys = np.asarray(r_keys)
+    s_keys = np.asarray(s_keys)
+    n, m_rows = len(r_keys), len(s_keys)
+
+    def pad_to(a, ids, mult):
+        target = round_up(max(len(a), 1), mult)
+        if target == len(a):
+            return a, ids
+        pad_n = target - len(a)
+        a = np.concatenate([a, np.zeros(pad_n, np.int32)])
+        ids = np.concatenate([ids, np.full(pad_n, -1, np.int32)])
+        return a, ids
+
+    r_ids_in = np.arange(n, dtype=np.int32)
+    s_ids_in = np.arange(m_rows, dtype=np.int32)
+    rk, ri = pad_to(r_keys.astype(np.int32), r_ids_in, ndev)
+    sk, si = pad_to(s_keys.astype(np.int32), s_ids_in, ndev)
+
+    shard = NamedSharding(mesh, P(ROW_AXIS))
+    rk, ri, sk, si = (jax.device_put(x, shard) for x in (rk, ri, sk, si))
+
+    if expected_matches is None:
+        expected_matches = max(n, m_rows)  # conservative default
+    cap_r = round_up(int(cdiv(len(np.asarray(rk)) // ndev, ndev) * slack) + 64, 64)
+    cap_s = round_up(int(cdiv(len(np.asarray(sk)) // ndev, ndev) * slack) + 64, 64)
+    cap_res = round_up(int(expected_matches / ndev * slack) + 64, 64)
+
+    for _ in range(max_retries):
+        fn = make_shuffle_join_fn(mesh, cap_r, cap_s, cap_res)
+        r_out, s_out, totals, ovf = fn(rk, ri, sk, si)
+        ovf = np.asarray(ovf)
+        if ovf[0] <= cap_r and ovf[1] <= cap_s and ovf[2] <= cap_res:
+            break
+        cap_r = max(cap_r, round_up(int(ovf[0]), 64))
+        cap_s = max(cap_s, round_up(int(ovf[1]), 64))
+        cap_res = max(cap_res, round_up(int(ovf[2]), 64))
+    else:
+        raise RuntimeError(f"shuffle join capacities did not converge: {ovf}")
+
+    r_out = np.asarray(r_out).reshape(ndev, -1)
+    s_out = np.asarray(s_out).reshape(ndev, -1)
+    totals = np.asarray(totals).reshape(-1)
+    parts_r = [r_out[d, : totals[d]] for d in range(ndev)]
+    parts_s = [s_out[d, : totals[d]] for d in range(ndev)]
+    return (
+        np.concatenate(parts_r) if parts_r else np.empty(0, np.int32),
+        np.concatenate(parts_s) if parts_s else np.empty(0, np.int32),
+    )
