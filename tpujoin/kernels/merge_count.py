@@ -1,0 +1,154 @@
+"""Pallas merge-count kernel: the hot half of the probe phase.
+
+Computes, for every *sorted* probe key, its rank (lower bound) in the
+*sorted* build key array and its number of matches — the (lo, counts) pair
+that drives exact-size materialization. Replaces two global
+``jnp.searchsorted(method='sort')`` calls (each an O((n+m)·log) multi-array
+sort, the dominant probe cost at 100M rows) with one bandwidth-bound
+streaming pass.
+
+This kernel is the TPU answer to the reference's count kernel
+(reference join_v1.mlir:288-425): where the reference walks a per-key
+linked-list chain (scf.while at :342-367, memory-latency-bound), this
+kernel exploits sortedness — each probe tile's matches live in one
+contiguous build window, so the tile DMAs that window into VMEM once and
+ranks all its keys with dense vector compares. No chains, no atomics, no
+data-dependent branching.
+
+Design:
+- grid over probe tiles of TILE keys; the probe block streams through VMEM
+  via the standard pipeline.
+- per tile, the host precomputes (window start, chunk count) into the
+  padded build array — scalar-prefetched so the kernel can DMA ahead.
+- the kernel loops over the window in CHUNK-sized pieces (dynamic trip
+  count: skewed keys with huge duplicate runs just loop longer), double
+  -buffering the build-chunk DMA against the compare work.
+- rank/count accumulate as dense [TILE, CHUNK] compares on the VPU:
+  lo_p = window_start + sum(B < p), cnt_p = sum(B == p). Padding keys are
+  INT32_MAX on both sides, contributing nothing.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpujoin.utils.shapes import cdiv, round_up
+
+TILE = 1024        # probe keys per grid step
+CHUNK = 1024       # build keys per DMA
+SUB = 256          # compare-slab width (caps the [TILE, SUB] intermediate)
+PAD_KEY = jnp.int32(0x7FFFFFFF)
+
+
+def _kernel(w0_ref, nchunks_ref, pk_ref, b_hbm, lo_ref, cnt_ref,
+            bbuf, sem):
+    i = pl.program_id(0)
+    w0 = w0_ref[i]
+    nchunks = nchunks_ref[i]
+    p = pk_ref[:].reshape(TILE, 1)
+
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(
+            b_hbm.at[pl.ds(w0 + c * CHUNK, CHUNK)],
+            bbuf.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def body(c, acc):
+        lo_acc, cnt_acc = acc
+        slot = c % 2
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            get_dma((c + 1) % 2, c + 1).start()
+
+        get_dma(slot, c).wait()
+        chunk = bbuf[slot]
+        for s in range(CHUNK // SUB):
+            piece = chunk[s * SUB:(s + 1) * SUB].reshape(1, SUB)
+            lo_acc = lo_acc + jnp.sum(
+                (piece < p).astype(jnp.int32), axis=1, keepdims=True)
+            cnt_acc = cnt_acc + jnp.sum(
+                (piece == p).astype(jnp.int32), axis=1, keepdims=True)
+        return lo_acc, cnt_acc
+
+    zero = jnp.zeros((TILE, 1), jnp.int32)
+    lo_acc, cnt_acc = jax.lax.fori_loop(0, nchunks, body, (zero, zero))
+    lo_ref[:] = (w0 + lo_acc.reshape(TILE)).astype(jnp.int32)
+    cnt_ref[:] = cnt_acc.reshape(TILE).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def merge_count(
+    sorted_build_keys: jax.Array,
+    sorted_probe_keys: jax.Array,
+    *,
+    interpret: bool = False,
+):
+    """(lo, counts) for every sorted probe key against the sorted build keys.
+
+    Both inputs must be ascending. Returns i32 arrays shaped like
+    ``sorted_probe_keys``; lo is the lower-bound index into
+    ``sorted_build_keys``, counts the number of equal build keys.
+    Keys must be < INT32_MAX (reserved as the padding sentinel; the
+    benchmark domain is [1, 1e9], reference shared.cpp:13-14).
+    """
+    n = sorted_build_keys.shape[0]
+    m = sorted_probe_keys.shape[0]
+    n_pad = round_up(max(n, 1), CHUNK)
+    m_pad = round_up(max(m, 1), TILE)
+    b = jnp.full((n_pad,), PAD_KEY, jnp.int32).at[:n].set(sorted_build_keys)
+    p = jnp.full((m_pad,), PAD_KEY, jnp.int32).at[:m].set(sorted_probe_keys)
+    num_tiles = m_pad // TILE
+
+    # per-tile window bounds in the padded build array (host-side, cheap:
+    # num_tiles queries, binary search via vectorized gathers)
+    first = p[::TILE]
+    last = p[TILE - 1::TILE]
+    w_lo = jnp.searchsorted(b, first, side="left", method="scan_unrolled")
+    w_hi = jnp.searchsorted(b, last, side="right", method="scan_unrolled")
+    w0 = (w_lo // CHUNK) * CHUNK
+    nchunks = cdiv_arr(w_hi - w0, CHUNK)
+    # probe pad tiles (first key == PAD_KEY) scan nothing
+    nchunks = jnp.where(first == PAD_KEY, 0, nchunks).astype(jnp.int32)
+    w0 = jnp.minimum(w0, n_pad - CHUNK).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # build keys stay in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, CHUNK), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    lo, cnt = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((m_pad,), jnp.int32),
+            jax.ShapeDtypeStruct((m_pad,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(w0, nchunks, p, b)
+    lo = jnp.minimum(lo[:m], n)
+    return lo, cnt[:m]
+
+
+def cdiv_arr(x, d):
+    return (x + d - 1) // d

@@ -1,0 +1,141 @@
+"""Multi-column equi-join and filter pushdown.
+
+BASELINE.json config 2 frames the reference's join_v2 workload as a
+"multi-column join + selection.mlir filter pushdown". The reference itself
+joins single i32 key columns (its hash is ``key % hashTableSize``,
+reference join_v1.mlir:206-210) and applies no pushdown; this module
+provides both as first-class engine features.
+
+Design: composite keys are reduced to one 32-bit *candidate* key by mixing
+the per-column hashes (:func:`tpujoin.ops.radix.hash32`). Equal tuples get
+equal candidate keys by construction; unequal tuples collide only at hash
+probability. The single-key join then produces a candidate pair superset,
+and a vectorized post-filter keeps exactly the pairs whose key columns are
+all equal — the exact-multiset contract survives hashing. This is the
+standard vectorized-DB treatment of composite keys and avoids any wide-key
+sort (XLA sorts with multiple key operands cost one payload lane per extra
+column; the candidate-hash form keeps the hot sort at 8 bytes/row).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpujoin.core.table import Table
+from tpujoin.ops.filter import filter_materialize
+from tpujoin.ops.hash_join import hash_join
+from tpujoin.ops.radix import hash32
+from tpujoin.utils.shapes import round_up
+
+
+def combined_key(table: Table, on: list[str]) -> jax.Array:
+    """One i32 candidate key per row from the named key columns."""
+    cols = [table[c] for c in on]
+    if len(cols) == 1:
+        return cols[0].astype(jnp.int32)
+    h = hash32(cols[0].astype(jnp.int32))
+    for c in cols[1:]:
+        # Boost-style hash_combine: order-sensitive mix of successive columns
+        h = hash32((h ^ (hash32(c.astype(jnp.int32))
+                         + jnp.uint32(0x9E3779B9)
+                         + (h << 6) + (h >> 2))).astype(jnp.int32))
+    return h.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "num_cols"))
+def _exact_filter(r_cols, s_cols, cand_r, cand_s, capacity: int, num_cols: int):
+    """Keep candidate pairs whose key columns are all equal (drops hash
+    collisions). Invalid candidates (id -1 padding) are dropped too."""
+    valid = cand_r >= 0
+    safe_r = jnp.where(valid, cand_r, 0)
+    safe_s = jnp.where(valid, cand_s, 0)
+    eq = valid
+    for i in range(num_cols):
+        eq = eq & (jnp.take(r_cols[i], safe_r) == jnp.take(s_cols[i], safe_s))
+    slots, total = filter_materialize(eq, capacity)
+    sel = jnp.clip(slots, 0, cand_r.shape[0] - 1)
+    keep = slots >= 0
+    out_r = jnp.where(keep, jnp.take(cand_r, sel), -1)
+    out_s = jnp.where(keep, jnp.take(cand_s, sel), -1)
+    return out_r, out_s, total
+
+
+def hash_join_multi(
+    r: Table,
+    s: Table,
+    on: list[str] | str,
+    *,
+    result_pad_multiple: int = 1 << 16,
+):
+    """Equi-join on one or more key columns; exact multiset of row-id pairs.
+
+    Returns (r_ids, s_ids) numpy arrays, like
+    :func:`tpujoin.ops.hash_join.hash_join` but joining on the conjunction
+    of equality over every column in ``on``.
+    """
+    if isinstance(on, str):
+        on = [on]
+    hk_r = combined_key(r, on)
+    hk_s = combined_key(s, on)
+    cand_r, cand_s = hash_join(
+        np.asarray(hk_r), np.asarray(hk_s),
+        result_pad_multiple=result_pad_multiple, return_numpy=False)
+    if cand_r.shape[0] == 0:
+        return np.empty(0, np.int32), np.empty(0, np.int32)
+    cap = round_up(int(cand_r.shape[0]), result_pad_multiple)
+    pad = cap - int(cand_r.shape[0])
+    if pad:
+        cand_r = jnp.pad(cand_r, (0, pad), constant_values=-1)
+        cand_s = jnp.pad(cand_s, (0, pad), constant_values=-1)
+    r_cols = tuple(r[c] for c in on)
+    s_cols = tuple(s[c] for c in on)
+    out_r, out_s, total = _exact_filter(r_cols, s_cols, cand_r, cand_s,
+                                        cap, len(on))
+    total = int(total)
+    return np.asarray(out_r[:total]), np.asarray(out_s[:total])
+
+
+def join_with_pushdown(
+    r: Table,
+    s: Table,
+    on: list[str] | str,
+    *,
+    r_pred=None,
+    s_pred=None,
+    r_pred_col: str | None = None,
+    s_pred_col: str | None = None,
+    result_pad_multiple: int = 1 << 16,
+):
+    """Filter-pushdown join: apply per-side predicates *before* the join
+    (the selection.mlir filter fused upstream of join_v2 per BASELINE.json
+    config 2), then join only the surviving rows. Returned ids refer to the
+    ORIGINAL tables.
+    """
+    from tpujoin.ops.filter import filter_table
+
+    if isinstance(on, str):
+        on = [on]
+
+    def push(table: Table, pred, col):
+        if pred is None:
+            return table, None
+        with_ids = table.with_column("__rowid", jnp.arange(table.num_rows,
+                                                           dtype=jnp.int32))
+        kept = filter_table(with_ids, pred, col,
+                            pad_multiple=result_pad_multiple)
+        return kept, np.asarray(kept["__rowid"]) if kept.num_rows else np.empty(0, np.int32)
+
+    r_kept, r_map = push(r, r_pred, r_pred_col)
+    s_kept, s_map = push(s, s_pred, s_pred_col)
+    if r_kept.num_rows == 0 or s_kept.num_rows == 0:
+        return np.empty(0, np.int32), np.empty(0, np.int32)
+    r_ids, s_ids = hash_join_multi(r_kept, s_kept, on,
+                                   result_pad_multiple=result_pad_multiple)
+    if r_map is not None:
+        r_ids = r_map[r_ids]
+    if s_map is not None:
+        s_ids = s_map[s_ids]
+    return r_ids, s_ids

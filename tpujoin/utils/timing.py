@@ -49,10 +49,21 @@ class PhaseStat:
         return d
 
 
-def _block(x):
-    return jax.tree_util.tree_map(
-        lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a, x
-    )
+def _sync(x):
+    """Force completion by reading one element of every output leaf back to
+    the host. ``block_until_ready`` alone is NOT trusted: on relayed/remote
+    platforms (axon tunnel) it can return at enqueue time, making every
+    timing a fiction — a data-dependent host readback cannot lie.
+
+    The first call per shape compiles the tiny slice op; time_fn's warmup
+    covers that.
+    """
+    import numpy as np
+
+    for leaf in jax.tree_util.tree_leaves(x):
+        if hasattr(leaf, "block_until_ready"):
+            leaf.block_until_ready()
+            np.asarray(leaf.ravel()[0:1])
 
 
 def time_fn(
@@ -66,11 +77,11 @@ def time_fn(
 ) -> PhaseStat:
     """Median-of-iters wall time with full device synchronization."""
     for _ in range(warmup):
-        _block(fn(*args))
+        _sync(fn(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        _block(fn(*args))
+        _sync(fn(*args))
         times.append(time.perf_counter() - t0)
     times.sort()
     return PhaseStat(name, times[len(times) // 2], bytes_touched, rows)
