@@ -38,32 +38,52 @@ def eprint(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_join(cfg: JoinConfig, verify: bool) -> dict:
+def bench_join(cfg: JoinConfig, verify: bool, engine: str = "v2") -> dict:
+    from tpujoin.ops import merge_join as mj_mod
+
     rng_r, rng_s = jax.random.split(jax.random.PRNGKey(cfg.seed))
     bk = datagen.make_keys(rng_r, cfg.build_rows, cfg.key_min, cfg.key_max,
                            cfg.distribution, cfg.zipf_s)
     pk = datagen.make_keys(rng_s, cfg.probe_rows, cfg.key_min, cfg.key_max,
                            cfg.distribution, cfg.zipf_s)
-    bk.block_until_ready(), pk.block_until_ready()
+    jax.block_until_ready((bk, pk))
 
     # ---- phase timings (median of 3, fully synchronized) ----
     build_stat = time_fn(hj_mod.build, bk, name="build",
                          rows=cfg.build_rows,
                          bytes_touched=cfg.build_rows * 4 * 4)
     ht = hj_mod.build(bk)
-    jax.block_until_ready(ht)
 
-    count_stat = time_fn(hj_mod.probe_count, ht, pk, name="count",
-                         rows=cfg.probe_rows,
-                         bytes_touched=(cfg.build_rows + cfg.probe_rows) * 4 * 4)
-    lo, counts = hj_mod.probe_count(ht, pk)
-    total = int(jnp.sum(counts))
-    cap = round_up(total, cfg.result_pad_multiple)
+    if engine == "v1":
+        count_stat = time_fn(
+            hj_mod.probe_count, ht, pk, name="count", rows=cfg.probe_rows,
+            bytes_touched=(cfg.build_rows + cfg.probe_rows) * 4 * 4)
+        lo, counts = hj_mod.probe_count(ht, pk)
+        total = int(jnp.sum(counts))
+        cap = round_up(total, cfg.result_pad_multiple)
+        mat_stat = time_fn(
+            lambda: hj_mod.probe_materialize(ht, lo, counts, cap),
+            name="materialize", rows=total,
+            bytes_touched=cfg.probe_rows * 8 + cap * 8 * 3)
 
-    mat_stat = time_fn(
-        lambda: hj_mod.probe_materialize(ht, lo, counts, cap),
-        name="materialize", rows=total,
-        bytes_touched=cfg.probe_rows * 8 + cap * 8 * 3)
+        def materialize():
+            return hj_mod.probe_materialize(ht, lo, counts, cap)
+    else:
+        count_stat = time_fn(
+            mj_mod.probe_count, ht, pk, name="count", rows=cfg.probe_rows,
+            bytes_touched=(cfg.build_rows + cfg.probe_rows * 3) * 4)
+        state, total_a, nonzero_a = mj_mod.probe_count(ht, pk)
+        total, nonzero = int(total_a), int(nonzero_a)
+        cap = round_up(total, cfg.result_pad_multiple)
+        k_cap = round_up(nonzero, max(cfg.result_pad_multiple // 8, 1024))
+        mat_stat = time_fn(
+            lambda: mj_mod.probe_materialize(ht, state, k_cap, cap),
+            name="materialize", rows=total,
+            bytes_touched=cfg.probe_rows * 12 + cap * 8 * 2)
+
+        def materialize():
+            return mj_mod.probe_materialize(ht, state, k_cap, cap)
+
     probe_seconds = count_stat.seconds + mat_stat.seconds
     total_seconds = build_stat.seconds + probe_seconds
 
@@ -73,7 +93,7 @@ def bench_join(cfg: JoinConfig, verify: bool) -> dict:
     verified = None
     if verify:
         from tpujoin import oracle
-        r_ids, s_ids, _ = hj_mod.probe_materialize(ht, lo, counts, cap)
+        r_ids, s_ids, _ = materialize()
         verified = oracle.check_join(
             np.asarray(bk), np.asarray(pk),
             np.asarray(r_ids[:total]), np.asarray(s_ids[:total])) == 1
@@ -81,6 +101,7 @@ def bench_join(cfg: JoinConfig, verify: bool) -> dict:
 
     dev = jax.devices()[0]
     return {
+        "engine": engine,
         "config": cfg.name,
         "device": getattr(dev, "device_kind", str(dev)),
         "build_rows": cfg.build_rows,
@@ -96,6 +117,71 @@ def bench_join(cfg: JoinConfig, verify: bool) -> dict:
     }
 
 
+def bench_aggregate(rows: int, key_max: int, verify: bool) -> dict:
+    """Hash aggregate (group-by count) — BASELINE.json config 3."""
+    from tpujoin.ops import aggregate as agg
+
+    keys = datagen.make_keys(jax.random.PRNGKey(0), rows, 1, key_max)
+    jax.block_until_ready(keys)
+    count_stat = time_fn(agg.group_count, keys, name="agg_count", rows=rows,
+                         bytes_touched=rows * 8)
+    ngroups = int(agg.group_count(keys))
+    cap = round_up(ngroups, 1 << 20)
+    mat_stat = time_fn(lambda: agg.group_materialize(keys, cap),
+                       name="agg_materialize", rows=rows,
+                       bytes_touched=rows * 12 + cap * 8)
+    for st in (count_stat, mat_stat):
+        eprint(json.dumps(st.as_dict()))
+    verified = None
+    if verify:
+        from tpujoin import oracle
+        gk, gc, _ = agg.group_materialize(keys, cap)
+        ok, oc = oracle.group_by_count(np.asarray(keys))
+        verified = (np.array_equal(np.asarray(gk[:ngroups]), ok)
+                    and np.array_equal(np.asarray(gc[:ngroups]), oc))
+        eprint(f"aggregate oracle parity: {'PASS' if verified else 'FAIL'}")
+    secs = count_stat.seconds + mat_stat.seconds
+    return {"op": "aggregate", "rows": rows, "groups": ngroups,
+            "total_seconds": secs, "rows_per_sec": rows / secs,
+            "verified": verified}
+
+
+def bench_filter(rows: int, verify: bool) -> dict:
+    """Selection + stream compaction (reference selection.mlir workload)."""
+    from tpujoin.ops import filter as flt
+
+    vals = jax.random.uniform(jax.random.PRNGKey(0), (rows,), jnp.float32,
+                              0.0, 160.0)
+    jax.block_until_ready(vals)
+    cap = round_up(rows // 2 + rows // 8, 1 << 20)
+    stat = time_fn(lambda: flt.filter_device(vals, 80.0, capacity=cap),
+                   name="filter", rows=rows, bytes_touched=rows * 12)
+    eprint(json.dumps(stat.as_dict()))
+    verified = None
+    if verify:
+        ids, total = flt.filter_device(vals, 80.0, capacity=cap)
+        total = int(total)
+        v = np.asarray(vals)
+        verified = (total == int((v < 80.0).sum())
+                    and bool((v[np.asarray(ids[:total])] < 80.0).all()))
+        eprint(f"filter parity: {'PASS' if verified else 'FAIL'}")
+    return {"op": "filter", "rows": rows, "total_seconds": stat.seconds,
+            "rows_per_sec": rows / stat.seconds, "verified": verified}
+
+
+def bench_sort(rows: int) -> dict:
+    """Key+payload sort — the primitive under build and probe phases."""
+    from tpujoin.ops.sort import sort_with_ids
+
+    keys = datagen.make_keys(jax.random.PRNGKey(0), rows, 1, 1 << 30)
+    jax.block_until_ready(keys)
+    stat = time_fn(sort_with_ids, keys, name="sort_keyval", rows=rows,
+                   bytes_touched=rows * 16)
+    eprint(json.dumps(stat.as_dict()))
+    return {"op": "sort", "rows": rows, "total_seconds": stat.seconds,
+            "rows_per_sec": rows / stat.seconds}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default=None,
@@ -105,7 +191,32 @@ def main():
                     help="full native-oracle multiset check (adds minutes)")
     ap.add_argument("--scale", type=float, default=1.0,
                     help="row-count scale factor")
+    ap.add_argument("--engine", default="v2", choices=["v1", "v2"],
+                    help="v1 = searchsorted probe; v2 = Pallas sort-merge")
+    ap.add_argument("--op", default="join",
+                    choices=["join", "aggregate", "filter", "sort"],
+                    help="operator to benchmark (headline metric is join)")
+    ap.add_argument("--rows", type=int, default=None,
+                    help="row count for non-join ops")
     args = ap.parse_args()
+
+    if args.op != "join":
+        on_tpu = jax.devices()[0].platform != "cpu"
+        rows = args.rows or (100_000_000 if on_tpu else 1_000_000)
+        if args.op == "aggregate":
+            detail = bench_aggregate(rows, max(rows // 10, 100), args.verify)
+        elif args.op == "filter":
+            detail = bench_filter(rows, args.verify)
+        else:
+            detail = bench_sort(rows)
+        eprint(json.dumps(detail))
+        print(json.dumps({
+            "metric": f"{args.op}_rows_per_sec",
+            "value": detail["rows_per_sec"],
+            "unit": "rows/s",
+            "vs_baseline": 1.0,  # no reference numbers exist for these ops
+        }))
+        return
 
     on_tpu = jax.devices()[0].platform != "cpu"
     name = args.config or ("ref_low_selectivity" if on_tpu else "baseline_1m")
@@ -121,7 +232,7 @@ def main():
             distribution=cfg.distribution, zipf_s=cfg.zipf_s, seed=cfg.seed,
         )
 
-    detail = bench_join(cfg, args.verify)
+    detail = bench_join(cfg, args.verify, engine=args.engine)
     eprint(json.dumps(detail))
 
     value = detail["probe_rows_per_sec"]

@@ -147,9 +147,10 @@ def cmd_distributed(args):
     pk = np.asarray(_gen_keys(args.probe_rows, args.key_min, args.key_max,
                               args.seed + 1, args.distribution))
     mesh = make_mesh(args.devices)
+    skew = args.skew or args.distribution == "zipf"
     r_ids, s_ids = _timed(
         "shuffle_join",
-        lambda: distributed_hash_join(bk, pk, mesh=mesh),
+        lambda: distributed_hash_join(bk, pk, mesh=mesh, skew=skew),
     )
     print(f"result rows: {len(r_ids)}  devices: {mesh.devices.size}", flush=True)
     if args.verify:
@@ -187,6 +188,8 @@ def main(argv=None):
     p = sub.add_parser("distributed", help="shuffle join over the device mesh")
     common(p)
     p.add_argument("--devices", type=int, default=None)
+    p.add_argument("--skew", action="store_true",
+                   help="heavy-hitter splitting (auto-enabled for zipf)")
 
     args = ap.parse_args(argv)
     if args.cmd in ("join_v1", "join_v2"):

@@ -1,0 +1,150 @@
+"""Pallas expansion kernel: the materialize half of the probe phase.
+
+Given the per-probe-row (offset, lo, probe_id) triples — already compacted
+to rows with at least one match and in sorted-probe-key order — produce for
+every output slot t the build position and probe id of its (build, probe)
+pair. This replaces the jnp materialize path's global
+``searchsorted(offsets, arange(capacity))`` plus three 1-D gathers (XLA TPU
+gathers run at ~73M elem/s — 2.1s of the baseline's materialize phase) with
+dense per-tile VPU work.
+
+Invariants exploited:
+- offsets are strictly increasing over compacted rows (every count >= 1),
+  so an output tile of T slots spans at most T rows → a T-row slab per tile.
+- offsets and lo are non-decreasing in sorted-probe order, so the slab
+  values for a slot reduce to masked maxima — no in-kernel gather at all;
+  the only non-monotone value (probe id) is recovered with a dense one-hot
+  sum on the VPU.
+
+The row slab is DMA'd from HBM at a scalar-prefetched row offset r0[tile] =
+searchsorted(offsets, tile_start) computed host-side (num_tiles queries).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpujoin.utils.shapes import round_up
+
+TILE = 1024              # output slots per grid step (= XLA 1-D i32 tiling)
+ALIGN = 1024             # HBM i32 memref tiling: DMA offset/size granule
+SLAB = 2 * ALIGN         # row slab per tile (aligned superset of the rows)
+STRIP = 512              # compare-strip width (caps [TILE, STRIP] temps)
+PAD_OFF = jnp.int32(0x7FFFFFFF)
+
+
+def _kernel(r0_ref, off_hbm, lo_hbm, sid_hbm, bpos_ref, sid_ref,
+            off_buf, lo_buf, sid_buf, sems):
+    i = pl.program_id(0)
+    # slab start, pre-aligned to ALIGN on the host; covers rows
+    # [r0, r0 + TILE) plus up to ALIGN-1 earlier rows — harmless: the
+    # "last row with offset <= t" reduction ignores extra leading rows
+    r0 = pl.multiple_of(r0_ref[i], ALIGN)
+    t0 = i * TILE
+
+    cp_off = pltpu.make_async_copy(off_hbm.at[pl.ds(r0, SLAB)], off_buf,
+                                   sems.at[0])
+    cp_lo = pltpu.make_async_copy(lo_hbm.at[pl.ds(r0, SLAB)], lo_buf,
+                                  sems.at[1])
+    cp_sid = pltpu.make_async_copy(sid_hbm.at[pl.ds(r0, SLAB)], sid_buf,
+                                   sems.at[2])
+    cp_off.start(), cp_lo.start(), cp_sid.start()
+    cp_off.wait(), cp_lo.wait(), cp_sid.wait()
+
+    t = (t0 + jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0))  # [T,1]
+
+    # pass 1: row containing t = LAST slab row with offset <= t, reduced
+    # strip by strip (offsets/lo are non-decreasing -> masked running max)
+    off_row = jnp.full((TILE, 1), -1, jnp.int32)
+    lo_row = jnp.full((TILE, 1), -1, jnp.int32)
+    for s in range(SLAB // STRIP):
+        offs = off_buf[s * STRIP:(s + 1) * STRIP].reshape(1, STRIP)
+        los = lo_buf[s * STRIP:(s + 1) * STRIP].reshape(1, STRIP)
+        covered = offs <= t
+        off_row = jnp.maximum(
+            off_row, jnp.max(jnp.where(covered, offs, -1), axis=1,
+                             keepdims=True))
+        lo_row = jnp.maximum(
+            lo_row, jnp.max(jnp.where(covered, los, -1), axis=1,
+                            keepdims=True))
+
+    # pass 2: one-hot select of the non-monotone probe id (offsets strictly
+    # increase over compacted rows -> the matching row is unique)
+    sid_row = jnp.zeros((TILE, 1), jnp.int32)
+    for s in range(SLAB // STRIP):
+        offs = off_buf[s * STRIP:(s + 1) * STRIP].reshape(1, STRIP)
+        sids = sid_buf[s * STRIP:(s + 1) * STRIP].reshape(1, STRIP)
+        sid_row = sid_row + jnp.sum(
+            jnp.where(offs == off_row, sids, 0), axis=1, keepdims=True)
+
+    j = t - off_row
+    bpos_ref[:] = (lo_row + j).reshape(TILE)
+    sid_ref[:] = sid_row.reshape(TILE)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "interpret"))
+def expand(
+    offsets: jax.Array,   # [K] exclusive cumsum of counts, strictly increasing
+    lo: jax.Array,        # [K] non-decreasing build lower bounds
+    sid: jax.Array,       # [K] probe ids (arbitrary payload)
+    capacity: int,
+    *,
+    interpret: bool | None = None,
+):
+    """(bpos, sid_out): for each output slot t < capacity, the build-side
+    position and probe id of pair t. Slots beyond the true total carry
+    garbage — the caller masks with its known total (the count phase's sum).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    k = offsets.shape[0]
+    cap = round_up(capacity, TILE)
+    # slab pad: rows past K must never be selected -> offset sentinel MAX;
+    # sized so every ALIGN-aligned slab start keeps the full SLAB in range
+    kp = round_up(max(k, 1), ALIGN) + SLAB
+    offp = jnp.full((kp,), PAD_OFF, jnp.int32).at[:k].set(offsets)
+    lop = jnp.zeros((kp,), jnp.int32).at[:k].set(lo)
+    sidp = jnp.zeros((kp,), jnp.int32).at[:k].set(sid)
+
+    num_tiles = cap // TILE
+    tile_starts = jnp.arange(num_tiles, dtype=jnp.int32) * TILE
+    r0 = jnp.searchsorted(offp, tile_starts, side="right",
+                          method="scan_unrolled").astype(jnp.int32) - 1
+    r0 = jnp.clip(r0, 0, kp - SLAB)
+    r0 = (r0 // ALIGN) * ALIGN  # ALIGN-aligned slab start for the DMA
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            # HBM: untiled, so the data-dependent slab offset r0 needs no
+            # alignment proof for the DMA
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE,), lambda i, *_: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE,), lambda i, *_: (i,), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((SLAB,), jnp.int32),
+            pltpu.VMEM((SLAB,), jnp.int32),
+            pltpu.VMEM((SLAB,), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    bpos, sid_out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((cap,), jnp.int32),
+            jax.ShapeDtypeStruct((cap,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(r0, offp, lop, sidp)
+    return bpos[:capacity], sid_out[:capacity]

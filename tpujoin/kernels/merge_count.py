@@ -51,27 +51,16 @@ def _kernel(w0_ref, nchunks_ref, pk_ref, b_hbm, lo_ref, cnt_ref,
     nchunks = nchunks_ref[i]
     p = pk_ref[:].reshape(TILE, 1)
 
-    def get_dma(slot, c):
-        return pltpu.make_async_copy(
-            b_hbm.at[pl.ds(w0 + c * CHUNK, CHUNK)],
-            bbuf.at[slot],
-            sem.at[slot],
-        )
-
-    @pl.when(nchunks > 0)
-    def _():
-        get_dma(0, 0).start()
-
     def body(c, acc):
         lo_acc, cnt_acc = acc
-        slot = c % 2
-
-        @pl.when(c + 1 < nchunks)
-        def _():
-            get_dma((c + 1) % 2, c + 1).start()
-
-        get_dma(slot, c).wait()
-        chunk = bbuf[slot]
+        # w0 is CHUNK-aligned by construction (host rounds it down); the
+        # hint lets Mosaic prove slice alignment for the DMA
+        start = pl.multiple_of(w0 + c * CHUNK, CHUNK)
+        dma = pltpu.make_async_copy(
+            b_hbm.at[pl.ds(start, CHUNK)], bbuf, sem)
+        dma.start()
+        dma.wait()
+        chunk = bbuf[:]
         for s in range(CHUNK // SUB):
             piece = chunk[s * SUB:(s + 1) * SUB].reshape(1, SUB)
             lo_acc = lo_acc + jnp.sum(
@@ -91,7 +80,7 @@ def merge_count(
     sorted_build_keys: jax.Array,
     sorted_probe_keys: jax.Array,
     *,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ):
     """(lo, counts) for every sorted probe key against the sorted build keys.
 
@@ -101,6 +90,9 @@ def merge_count(
     Keys must be < INT32_MAX (reserved as the padding sentinel; the
     benchmark domain is [1, 1e9], reference shared.cpp:13-14).
     """
+    if interpret is None:
+        # CPU backend (tests, emulated meshes) has no Mosaic -> interpret
+        interpret = jax.default_backend() == "cpu"
     n = sorted_build_keys.shape[0]
     m = sorted_probe_keys.shape[0]
     n_pad = round_up(max(n, 1), CHUNK)
@@ -125,16 +117,18 @@ def merge_count(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # build keys stay in HBM
+            pl.BlockSpec((TILE,), lambda i, *_: (i,), memory_space=pltpu.VMEM),
+            # force HBM: untiled memref -> arbitrary-offset DMA slices are
+            # legal, and at 100M rows it could never live in VMEM anyway
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE,), lambda i, *_: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE,), lambda i, *_: (i,), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((CHUNK,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     lo, cnt = pl.pallas_call(

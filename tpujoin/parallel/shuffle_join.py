@@ -153,8 +153,12 @@ def distributed_hash_join(
     slack: float = 2.0,
     expected_matches: int | None = None,
     max_retries: int = 3,
+    skew: bool = False,
 ):
     """Driver: exact-size distributed equi-join over all mesh devices.
+
+    ``skew=True`` routes through the heavy-hitter splitting path
+    (:mod:`tpujoin.parallel.skew`) — use for Zipf-like key distributions.
 
     Pads both tables to a multiple of the mesh size, row-shards them,
     runs the shuffle-join step, and trims each device's padded result to its
@@ -163,6 +167,12 @@ def distributed_hash_join(
     Returns (r_ids, s_ids) numpy arrays — global row-id pairs, multiset-equal
     to the single-chip :func:`tpujoin.ops.hash_join.hash_join` result.
     """
+    if skew:
+        from tpujoin.parallel.skew import distributed_hash_join_skew
+
+        return distributed_hash_join_skew(
+            r_keys, s_keys, mesh=mesh, slack=slack,
+            expected_matches=expected_matches)
     if mesh is None:
         mesh = make_mesh()
     ndev = mesh.shape[ROW_AXIS]
