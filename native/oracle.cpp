@@ -121,3 +121,69 @@ int64_t oracle_end_timer() {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// RLE (factorized) join-result oracle: the engine may return the join as
+// (probe_id, lo, cnt)[k] rows over a sorted-build-id array instead of
+// materialized pairs (the factorized form a vectorized engine serves
+// directly; reference parity is checked by expanding the same multiset).
+// For each probe row, the claimed build-id run must equal (as a multiset)
+// the true set of matching build rows. Returns 1 ok, 0 mismatch, -1 if
+// claimed total size differs from the true join size.
+int oracle_check_rle(const int32_t* rk, int64_t n, const int32_t* sk,
+                     int64_t m, const int32_t* sorted_build_ids,
+                     const int32_t* probe_ids, const int32_t* lo,
+                     const int32_t* cnt, int64_t k) {
+  std::vector<Pair> build(n);
+  for (int64_t i = 0; i < n; ++i) build[i] = {rk[i], (int32_t)i};
+  std::sort(build.begin(), build.end());
+
+  // true total
+  int64_t true_total = 0;
+  for (int64_t j = 0; j < m; ++j) {
+    auto range = std::equal_range(build.begin(), build.end(),
+                                  Pair{sk[j], 0},
+                                  [](const Pair& a, const Pair& b) {
+                                    return a.first < b.first;
+                                  });
+    true_total += range.second - range.first;
+  }
+  int64_t claimed = 0;
+  for (int64_t r = 0; r < k; ++r) claimed += cnt[r];
+  if (claimed != true_total) return -1;
+
+  std::vector<char> probe_seen(m, 0);
+  for (int64_t r = 0; r < k; ++r) {
+    int32_t p = probe_ids[r];
+    if (p < 0 || p >= m || probe_seen[p]) return 0;  // dup/invalid probe row
+    probe_seen[p] = 1;
+    auto range = std::equal_range(build.begin(), build.end(),
+                                  Pair{sk[p], 0},
+                                  [](const Pair& a, const Pair& b) {
+                                    return a.first < b.first;
+                                  });
+    int64_t want = range.second - range.first;
+    if (cnt[r] != want) return 0;
+    // claimed run ids must equal the true id multiset for this key
+    std::vector<int32_t> got(sorted_build_ids + lo[r],
+                             sorted_build_ids + lo[r] + cnt[r]);
+    std::vector<int32_t> exp;
+    exp.reserve(want);
+    for (auto it = range.first; it != range.second; ++it)
+      exp.push_back(it->second);
+    std::sort(got.begin(), got.end());
+    std::sort(exp.begin(), exp.end());
+    if (got != exp) return 0;
+  }
+  // probe rows not listed must have zero matches
+  for (int64_t j = 0; j < m; ++j) {
+    if (probe_seen[j]) continue;
+    auto it = std::lower_bound(build.begin(), build.end(),
+                               Pair{sk[j], INT32_MIN});
+    if (it != build.end() && it->first == sk[j]) return 0;
+  }
+  return 1;
+}
+
+}  // extern "C"

@@ -50,6 +50,9 @@ def _kernel(w0_ref, nchunks_ref, pk_ref, b_hbm, lo_ref, cnt_ref,
     w0 = w0_ref[i]
     nchunks = nchunks_ref[i]
     p = pk_ref[:].reshape(TILE, 1)
+    # tile key range (probe keys are sorted, so first/last are the bounds)
+    p_min = pk_ref[0]
+    p_max = pk_ref[TILE - 1]
 
     def body(c, acc):
         lo_acc, cnt_acc = acc
@@ -60,14 +63,34 @@ def _kernel(w0_ref, nchunks_ref, pk_ref, b_hbm, lo_ref, cnt_ref,
             b_hbm.at[pl.ds(start, CHUNK)], bbuf, sem)
         dma.start()
         dma.wait()
-        chunk = bbuf[:]
-        for s in range(CHUNK // SUB):
-            piece = chunk[s * SUB:(s + 1) * SUB].reshape(1, SUB)
-            lo_acc = lo_acc + jnp.sum(
-                (piece < p).astype(jnp.int32), axis=1, keepdims=True)
-            cnt_acc = cnt_acc + jnp.sum(
-                (piece == p).astype(jnp.int32), axis=1, keepdims=True)
-        return lo_acc, cnt_acc
+        # chunk skip fast-paths (both arrays sorted): a chunk entirely
+        # below the tile's key range adds CHUNK to every rank and nothing
+        # to counts; entirely above adds nothing. Only boundary chunks pay
+        # the dense [TILE, SUB] compares — typically 1-2 per tile.
+        c_min = bbuf[0]
+        c_max = bbuf[CHUNK - 1]
+
+        def dense(_):
+            lo_d = jnp.zeros((TILE, 1), jnp.int32)
+            cnt_d = jnp.zeros((TILE, 1), jnp.int32)
+            chunk = bbuf[:]
+            for s in range(CHUNK // SUB):
+                piece = chunk[s * SUB:(s + 1) * SUB].reshape(1, SUB)
+                lo_d = lo_d + jnp.sum(
+                    (piece < p).astype(jnp.int32), axis=1, keepdims=True)
+                cnt_d = cnt_d + jnp.sum(
+                    (piece == p).astype(jnp.int32), axis=1, keepdims=True)
+            return lo_d, cnt_d
+
+        def skip(_):
+            below = (c_max < p_min).astype(jnp.int32) * jnp.int32(CHUNK)
+            return (jnp.full((TILE, 1), below, jnp.int32),
+                    jnp.zeros((TILE, 1), jnp.int32))
+
+        is_boundary = jnp.logical_not(
+            jnp.logical_or(c_max < p_min, c_min > p_max))
+        lo_d, cnt_d = jax.lax.cond(is_boundary, dense, skip, None)
+        return lo_acc + lo_d, cnt_acc + cnt_d
 
     zero = jnp.zeros((TILE, 1), jnp.int32)
     lo_acc, cnt_acc = jax.lax.fori_loop(0, nchunks, body, (zero, zero))

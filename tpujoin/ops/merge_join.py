@@ -104,6 +104,49 @@ def probe_materialize(
     return r_ids.astype(jnp.int32), s_ids.astype(jnp.int32), total
 
 
+@functools.partial(jax.jit, static_argnames=("k_cap",))
+def probe_rle(ht: HashJoinTable, state: SortedProbe, k_cap: int):
+    """Factorized (RLE) result at static row capacity: per matched probe
+    row, (probe_id, lo, cnt) over ``ht.sorted_ids``. This IS the join result
+    in run-length form — total pairs = sum(cnt) — produced without paying
+    the pair-expansion cost. The natural interface for high-duplication
+    workloads (the reference's 10Mx10M config materializes 1B pairs / 8.5 GB
+    just to hold ~100k distinct runs, join-performances.md:3-5); downstream
+    operators (aggregations, semi-joins) can consume runs directly, and
+    :func:`probe_materialize` expands on demand."""
+    cnt = state.counts
+    z = (cnt == 0).astype(jnp.int32)
+    _, lo_s, cnt_s, sid_s = jax.lax.sort(
+        (z, state.lo, cnt, state.probe_ids), num_keys=1)
+    m = cnt.shape[0]
+
+    def fit(a):
+        if k_cap <= m:
+            return jax.lax.slice_in_dim(a, 0, k_cap)
+        return jnp.pad(a, (0, k_cap - m))
+
+    return fit(sid_s), fit(lo_s), fit(cnt_s)
+
+
+def merge_join_rle(build_keys, probe_keys, *, row_pad_multiple: int = 1 << 16):
+    """Full-join driver returning the factorized result:
+    (probe_ids, lo, cnt, sorted_build_ids) with exact row count — the
+    expansion of row r is pairs (sorted_build_ids[lo[r]+j], probe_ids[r])
+    for j < cnt[r]."""
+    build_keys = jnp.asarray(build_keys)
+    probe_keys = jnp.asarray(probe_keys)
+    ht = build(build_keys)
+    state, total, nonzero = probe_count(ht, probe_keys)
+    nonzero = int(nonzero)
+    if nonzero == 0:
+        e = np.empty(0, np.int32)
+        return e, e, e, np.asarray(ht.sorted_ids)
+    k_cap = round_up(nonzero, row_pad_multiple)
+    sid, lo, cnt = probe_rle(ht, state, k_cap)
+    return (np.asarray(sid[:nonzero]), np.asarray(lo[:nonzero]),
+            np.asarray(cnt[:nonzero]), np.asarray(ht.sorted_ids))
+
+
 def merge_join(
     build_keys,
     probe_keys,

@@ -46,6 +46,10 @@ def _load() -> ctypes.CDLL | None:
     lib.oracle_group_count.restype = ctypes.c_int64
     lib.oracle_group_count.argtypes = [i32p, ctypes.c_int64, i32p, i32p,
                                        ctypes.c_int64]
+    lib.oracle_check_rle.restype = ctypes.c_int
+    lib.oracle_check_rle.argtypes = [i32p, ctypes.c_int64, i32p,
+                                     ctypes.c_int64, i32p, i32p, i32p, i32p,
+                                     ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -91,6 +95,25 @@ def check_join(r_keys, s_keys, res_r, res_s, *, nested: bool = False) -> int:
     expected = expected[np.lexsort((expected[:, 1], expected[:, 0]))]
     got = got[np.lexsort((got[:, 1], got[:, 0]))]
     return 1 if np.array_equal(expected, got) else 0
+
+
+def check_join_rle(r_keys, s_keys, sorted_build_ids, probe_ids, lo, cnt) -> int:
+    """Check a factorized (RLE) join result: per probe row ``probe_ids[r]``,
+    the build-id run ``sorted_build_ids[lo[r]:lo[r]+cnt[r]]`` must be the
+    exact match multiset. 1 ok / 0 mismatch / -1 size mismatch. Native only
+    (no NumPy fallback): falls back to expanding + :func:`check_join`."""
+    r, s = _as_i32(r_keys), _as_i32(s_keys)
+    sbi, pid = _as_i32(sorted_build_ids), _as_i32(probe_ids)
+    lo_a, cnt_a = _as_i32(lo), _as_i32(cnt)
+    lib = _load()
+    if lib is not None:
+        return int(lib.oracle_check_rle(_ptr(r), len(r), _ptr(s), len(s),
+                                        _ptr(sbi), _ptr(pid), _ptr(lo_a),
+                                        _ptr(cnt_a), len(pid)))
+    res_r = np.concatenate([sbi[l:l + c] for l, c in zip(lo_a, cnt_a)]) \
+        if len(pid) else np.empty(0, np.int32)
+    res_s = np.repeat(pid, cnt_a) if len(pid) else np.empty(0, np.int32)
+    return check_join(r, s, res_r, res_s)
 
 
 def group_by_count(keys):
