@@ -38,8 +38,78 @@ def eprint(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def bench_join_dense(cfg: JoinConfig, verify: bool) -> dict:
+    """High-selectivity configs (result >> memory comfort, e.g. the
+    reference's 10Mx10M / ~1B-pair workload, join-performances.md:3-6):
+    benchmark the factorized (RLE) result — the engine's native exact form —
+    plus a chunked pair-expansion sample for the materialization rate."""
+    from tpujoin.ops import merge_join as mj_mod
+
+    rng_r, rng_s = jax.random.split(jax.random.PRNGKey(cfg.seed))
+    bk = datagen.make_keys(rng_r, cfg.build_rows, cfg.key_min, cfg.key_max,
+                           cfg.distribution, cfg.zipf_s)
+    pk = datagen.make_keys(rng_s, cfg.probe_rows, cfg.key_min, cfg.key_max,
+                           cfg.distribution, cfg.zipf_s)
+    jax.block_until_ready((bk, pk))
+
+    build_stat = time_fn(hj_mod.build, bk, name="build", rows=cfg.build_rows)
+    ht = hj_mod.build(bk)
+    count_stat = time_fn(mj_mod.probe_count, ht, pk, name="count",
+                         rows=cfg.probe_rows)
+    state, total_a, nonzero_a = mj_mod.probe_count(ht, pk)
+    total, nonzero = int(total_a), int(nonzero_a)
+    k_cap = round_up(nonzero, 1 << 20)
+    rle_stat = time_fn(lambda: mj_mod.probe_rle(ht, state, k_cap),
+                       name="rle_result", rows=nonzero)
+
+    # pair-expansion rate, sampled on one probe chunk
+    chunk = min(1 << 21, cfg.probe_rows)
+    pk_c = jax.lax.slice_in_dim(pk, 0, chunk)
+    state_c, total_c_a, nz_c_a = mj_mod.probe_count(ht, pk_c)
+    total_c, nz_c = int(total_c_a), int(nz_c_a)
+    cap_c = round_up(total_c, 1 << 20)
+    kc = round_up(nz_c, 1 << 18)
+    mat_stat = time_fn(
+        lambda: mj_mod.probe_materialize(ht, state_c, kc, cap_c),
+        name="materialize_chunk", rows=total_c)
+    for st in (build_stat, count_stat, rle_stat, mat_stat):
+        eprint(json.dumps(st.as_dict()))
+
+    verified = None
+    if verify:
+        from tpujoin import oracle
+        sid, lo, cnt = mj_mod.probe_rle(ht, state, k_cap)
+        verified = oracle.check_join_rle(
+            np.asarray(bk), np.asarray(pk), np.asarray(ht.sorted_ids),
+            np.asarray(sid[:nonzero]), np.asarray(lo[:nonzero]),
+            np.asarray(cnt[:nonzero])) == 1
+        eprint(f"RLE oracle parity: {'PASS' if verified else 'FAIL'}")
+
+    probe_seconds = count_stat.seconds + rle_stat.seconds
+    dev = jax.devices()[0]
+    return {
+        "engine": "v2-rle",
+        "config": cfg.name,
+        "device": getattr(dev, "device_kind", str(dev)),
+        "build_rows": cfg.build_rows,
+        "probe_rows": cfg.probe_rows,
+        "result_rows": total,
+        "build_seconds": build_stat.seconds,
+        "count_seconds": count_stat.seconds,
+        "materialize_seconds": rle_stat.seconds,
+        "pair_expansion_rows_per_sec": total_c / mat_stat.seconds,
+        "total_seconds": build_stat.seconds + probe_seconds,
+        "probe_rows_per_sec": cfg.probe_rows / probe_seconds,
+        "hbm_peak_gbps": hbm_peak_gbps(dev),
+        "verified": verified,
+    }
+
+
 def bench_join(cfg: JoinConfig, verify: bool, engine: str = "v2") -> dict:
     from tpujoin.ops import merge_join as mj_mod
+
+    if cfg.expected_matches > 2.5e8 and engine == "v2":
+        return bench_join_dense(cfg, verify)
 
     rng_r, rng_s = jax.random.split(jax.random.PRNGKey(cfg.seed))
     bk = datagen.make_keys(rng_r, cfg.build_rows, cfg.key_min, cfg.key_max,

@@ -69,3 +69,27 @@ def test_mesh_subset():
     r_ids, s_ids = distributed_hash_join(
         rk, sk, mesh=mesh, expected_matches=oracle.join_count(rk, sk))
     assert oracle.check_join(rk, sk, r_ids, s_ids) == 1
+
+
+@needs_devices
+@pytest.mark.parametrize("chunks", [2, 4])
+def test_pipelined_exchange_matches_oracle(chunks):
+    """Pipelined (overlapped-exchange) variant: same exact multiset."""
+    rk = _rand(4096, 1, 300, 11)
+    sk = _rand(4096, 1, 300, 12)
+    mesh = make_mesh(8)
+    r_ids, s_ids = distributed_hash_join(
+        rk, sk, mesh=mesh, expected_matches=oracle.join_count(rk, sk),
+        pipeline_chunks=chunks)
+    assert oracle.check_join(rk, sk, r_ids, s_ids) == 1
+
+
+@needs_devices
+def test_pipelined_ragged_sizes():
+    rk = _rand(3001, 1, 100, 13)
+    sk = _rand(5003, 1, 100, 14)
+    mesh = make_mesh(8)
+    r_ids, s_ids = distributed_hash_join(
+        rk, sk, mesh=mesh, expected_matches=oracle.join_count(rk, sk),
+        pipeline_chunks=2)
+    assert oracle.check_join(rk, sk, r_ids, s_ids) == 1

@@ -55,6 +55,59 @@ def group_materialize(keys: jax.Array, capacity: int):
     return group_keys.astype(jnp.int32), counts.astype(jnp.int32), num_groups
 
 
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def group_agg_materialize(keys: jax.Array, values: jax.Array, capacity: int):
+    """Per-group (count, sum, min, max) over a value column, gather-light.
+
+    Sort (key, value) pairs; group sums come from cumsum differences at the
+    G group boundaries, min/max from the first/last value of each run
+    (values sorted within a key run because value is the sort tiebreaker) —
+    every gather is G-sized, never row-count-sized. Returns
+    (group_keys, counts, sums f32, mins, maxs, num_groups), padded to
+    capacity (pad keys -1, counts 0).
+    """
+    n = keys.shape[0]
+    # num_keys=2: value is a sort key too, so each key run has its values
+    # ascending -> run min/max are its first/last elements
+    sk, sv = jax.lax.sort((keys, values), num_keys=2)
+    is_boundary = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]])
+    starts, num_groups = filter_materialize(is_boundary, capacity)
+    valid = starts >= 0
+    safe_starts = jnp.where(valid, starts, 0)
+    group_keys = jnp.where(valid, jnp.take(sk, safe_starts), -1)
+    next_start = jnp.concatenate(
+        [starts[1:], jnp.full((1,), -1, jnp.int32)])
+    is_last = jnp.arange(capacity, dtype=jnp.int32) == (num_groups - 1)
+    ends = jnp.where(is_last, n, next_start)
+    safe_ends = jnp.where(valid, jnp.clip(ends, 1, n), 1)
+    counts = jnp.where(valid, safe_ends - safe_starts, 0)
+    # sums via inclusive-cumsum difference (f32 to bound i32 overflow;
+    # exact for |values| < 2^24-scale sums, documented)
+    cs = jnp.cumsum(sv.astype(jnp.float32))
+    sum_hi = jnp.take(cs, safe_ends - 1)
+    sum_lo = jnp.where(safe_starts > 0, jnp.take(cs, safe_starts - 1), 0.0)
+    sums = jnp.where(valid, sum_hi - sum_lo, 0.0)
+    mins = jnp.where(valid, jnp.take(sv, safe_starts), 0)
+    maxs = jnp.where(valid, jnp.take(sv, safe_ends - 1), 0)
+    return group_keys, counts, sums, mins, maxs, num_groups
+
+
+def group_by_agg(keys, values, *, pad_multiple: int = 1 << 16):
+    """Driver: exact-size per-group (key, count, sum, min, max) as numpy."""
+    keys = jnp.asarray(keys)
+    values = jnp.asarray(values)
+    ngroups = int(group_count(keys))
+    if ngroups == 0:
+        e = np.empty(0, np.int32)
+        return e, e, np.empty(0, np.float32), e, e
+    cap = round_up(ngroups, pad_multiple)
+    gk, gc, gs, gmin, gmax, _ = group_agg_materialize(keys, values, cap)
+    sl = slice(0, ngroups)
+    return (np.asarray(gk[sl]), np.asarray(gc[sl]), np.asarray(gs[sl]),
+            np.asarray(gmin[sl]), np.asarray(gmax[sl]))
+
+
 def group_by_count(keys, *, pad_multiple: int = 1 << 16):
     """Driver: exact-size (unique_keys, counts) as numpy arrays, keys
     ascending."""

@@ -147,6 +147,36 @@ def merge_join_rle(build_keys, probe_keys, *, row_pad_multiple: int = 1 << 16):
             np.asarray(cnt[:nonzero]), np.asarray(ht.sorted_ids))
 
 
+def semi_join(build_keys, probe_keys, *, row_pad_multiple: int = 1 << 16):
+    """Probe-side semi join: ids of probe rows with >= 1 build match.
+    (The reference supports only inner join; semi/anti/outer complete the
+    equi-join family on the same count machinery — a semi join is the count
+    phase's nonzero set, no materialization at all.)"""
+    pid, _, _, _ = merge_join_rle(build_keys, probe_keys,
+                                  row_pad_multiple=row_pad_multiple)
+    return np.sort(pid)
+
+
+def anti_join(build_keys, probe_keys, *, row_pad_multiple: int = 1 << 16):
+    """Probe-side anti join: ids of probe rows with NO build match."""
+    matched = semi_join(build_keys, probe_keys,
+                        row_pad_multiple=row_pad_multiple)
+    m = int(jnp.asarray(probe_keys).shape[0])
+    mask = np.ones(m, bool)
+    mask[matched] = False
+    return np.nonzero(mask)[0].astype(np.int32)
+
+
+def left_outer_join(build_keys, probe_keys, **kwargs):
+    """Probe-side left outer join: all inner pairs plus (-1, probe_id) for
+    unmatched probe rows (NULL build side encoded as -1)."""
+    r_ids, s_ids = merge_join(build_keys, probe_keys, **kwargs)
+    unmatched = anti_join(build_keys, probe_keys)
+    r_out = np.concatenate([r_ids, np.full(len(unmatched), -1, np.int32)])
+    s_out = np.concatenate([s_ids, unmatched])
+    return r_out, s_out
+
+
 def merge_join(
     build_keys,
     probe_keys,

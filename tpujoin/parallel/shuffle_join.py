@@ -70,12 +70,14 @@ def _send_buffer(keys, ids, num_peers: int, capacity: int, pad_key):
     return buf_keys, buf_ids, jnp.max(counts)
 
 
-def _local_join(bk, bid, pk, pid_, capacity: int):
-    """Sorted-build equi-join of the received rows, at static result
-    capacity. Mirrors ops.hash_join.{build,probe_count,probe_materialize}
-    but carries explicit global row ids through the exchange."""
+def _sort_build(bk, bid):
+    """Sort received build rows once (pad rows sink to the tail)."""
     bk = jnp.where(bid < 0, _BUILD_PAD_KEY, bk)
-    sk, sid = jax.lax.sort((bk, bid), num_keys=1)
+    return jax.lax.sort((bk, bid), num_keys=1)
+
+
+def _probe_sorted(sk, sid, pk, pid_, capacity: int):
+    """Probe pre-sorted build rows at static result capacity."""
     pk_eff = jnp.where(pid_ < 0, _PROBE_PAD_KEY, pk)
     lo = jnp.searchsorted(sk, pk_eff, side="left", method=_SS).astype(jnp.int32)
     hi = jnp.searchsorted(sk, pk_eff, side="right", method=_SS).astype(jnp.int32)
@@ -92,6 +94,90 @@ def _local_join(bk, bid, pk, pid_, capacity: int):
     r_ids = jnp.where(valid, jnp.take(sid, bpos), -1)
     s_ids = jnp.where(valid, jnp.take(pid_, row), -1)
     return r_ids.astype(jnp.int32), s_ids.astype(jnp.int32), total.astype(jnp.int32)
+
+
+def _local_join(bk, bid, pk, pid_, capacity: int):
+    """Sorted-build equi-join of the received rows, at static result
+    capacity. Mirrors ops.hash_join.{build,probe_count,probe_materialize}
+    but carries explicit global row ids through the exchange."""
+    sk, sid = _sort_build(bk, bid)
+    return _probe_sorted(sk, sid, pk, pid_, capacity)
+
+
+def make_shuffle_join_pipelined_fn(
+    mesh,
+    send_cap_r: int,
+    send_cap_s: int,
+    chunk_result_cap: int,
+    num_chunks: int = 2,
+):
+    """Pipelined shuffle-join step: the probe side is exchanged in
+    ``num_chunks`` slices, and slice c's all_to_all carries no data
+    dependency on slice c-1's local join — XLA's async collectives can
+    overlap the ICI/DCN exchange with probe compute (the double-buffered
+    overlap BASELINE.json's north star asks for). The build side is
+    exchanged and sorted once up front.
+
+    Local probe shards must be divisible by num_chunks (driver pads).
+    Returns per-chunk padded results stacked on a leading axis, per-device
+    per-chunk counts, and the overflow telemetry vector."""
+    num_peers = mesh.shape[ROW_AXIS]
+
+    def shard_fn(r_keys, r_ids, s_keys, s_ids):
+        rbk, rbi, r_max = _send_buffer(r_keys, r_ids, num_peers, send_cap_r,
+                                       _BUILD_PAD_KEY)
+        rbk = jax.lax.all_to_all(rbk, ROW_AXIS, 0, 0)
+        rbi = jax.lax.all_to_all(rbi, ROW_AXIS, 0, 0)
+        sk, sid = _sort_build(rbk.reshape(-1), rbi.reshape(-1))
+
+        m_loc = s_keys.shape[0]
+        chunk = m_loc // num_chunks
+        sends = []
+        s_max = jnp.int32(0)
+        for c in range(num_chunks):
+            ck = jax.lax.dynamic_slice_in_dim(s_keys, c * chunk, chunk)
+            ci = jax.lax.dynamic_slice_in_dim(s_ids, c * chunk, chunk)
+            bk_c, bi_c, mx = _send_buffer(ck, ci, num_peers, send_cap_s,
+                                          _PROBE_PAD_KEY)
+            sends.append((bk_c, bi_c))
+            s_max = jnp.maximum(s_max, mx)
+
+        # software pipeline: issue exchange c+1 before joining chunk c, so
+        # the collective and the local probe have no mutual dependency
+        recvs = [None] * num_chunks
+        recvs[0] = (jax.lax.all_to_all(sends[0][0], ROW_AXIS, 0, 0),
+                    jax.lax.all_to_all(sends[0][1], ROW_AXIS, 0, 0))
+        outs = []
+        totals = []
+        for c in range(num_chunks):
+            if c + 1 < num_chunks:
+                recvs[c + 1] = (
+                    jax.lax.all_to_all(sends[c + 1][0], ROW_AXIS, 0, 0),
+                    jax.lax.all_to_all(sends[c + 1][1], ROW_AXIS, 0, 0))
+            pk_c, pi_c = recvs[c]
+            r_out, s_out, tot = _probe_sorted(
+                sk, sid, pk_c.reshape(-1), pi_c.reshape(-1),
+                chunk_result_cap)
+            outs.append((r_out, s_out))
+            totals.append(tot)
+
+        r_stack = jnp.concatenate([o[0] for o in outs])
+        s_stack = jnp.concatenate([o[1] for o in outs])
+        totals = jnp.stack(totals)
+        ovf = jnp.stack([
+            jax.lax.pmax(r_max, ROW_AXIS),
+            jax.lax.pmax(s_max, ROW_AXIS),
+            jax.lax.pmax(jnp.max(totals), ROW_AXIS),
+        ])
+        return r_stack, s_stack, totals, ovf
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(ROW_AXIS), P(ROW_AXIS), P(ROW_AXIS), P(ROW_AXIS)),
+        out_specs=(P(ROW_AXIS), P(ROW_AXIS), P(ROW_AXIS), P()),
+    )
+    return jax.jit(fn)
 
 
 def make_shuffle_join_fn(
@@ -154,11 +240,14 @@ def distributed_hash_join(
     expected_matches: int | None = None,
     max_retries: int = 3,
     skew: bool = False,
+    pipeline_chunks: int = 1,
 ):
     """Driver: exact-size distributed equi-join over all mesh devices.
 
     ``skew=True`` routes through the heavy-hitter splitting path
     (:mod:`tpujoin.parallel.skew`) — use for Zipf-like key distributions.
+    ``pipeline_chunks > 1`` exchanges the probe side in that many slices
+    with the collective for slice c+1 overlapping the local join of slice c.
 
     Pads both tables to a multiple of the mesh size, row-shards them,
     runs the shuffle-join step, and trims each device's padded result to its
@@ -192,19 +281,28 @@ def distributed_hash_join(
     r_ids_in = np.arange(n, dtype=np.int32)
     s_ids_in = np.arange(m_rows, dtype=np.int32)
     rk, ri = pad_to(r_keys.astype(np.int32), r_ids_in, ndev)
-    sk, si = pad_to(s_keys.astype(np.int32), s_ids_in, ndev)
+    sk, si = pad_to(s_keys.astype(np.int32), s_ids_in,
+                    ndev * max(pipeline_chunks, 1))
 
     shard = NamedSharding(mesh, P(ROW_AXIS))
     rk, ri, sk, si = (jax.device_put(x, shard) for x in (rk, ri, sk, si))
 
     if expected_matches is None:
         expected_matches = max(n, m_rows)  # conservative default
+    nchunks = max(pipeline_chunks, 1)
     cap_r = round_up(int(cdiv(len(np.asarray(rk)) // ndev, ndev) * slack) + 64, 64)
-    cap_s = round_up(int(cdiv(len(np.asarray(sk)) // ndev, ndev) * slack) + 64, 64)
-    cap_res = round_up(int(expected_matches / ndev * slack) + 64, 64)
+    cap_s = round_up(
+        int(cdiv(len(np.asarray(sk)) // (ndev * nchunks), ndev) * slack) + 64,
+        64)
+    cap_res = round_up(
+        int(expected_matches / (ndev * nchunks) * slack) + 64, 64)
 
     for _ in range(max_retries):
-        fn = make_shuffle_join_fn(mesh, cap_r, cap_s, cap_res)
+        if nchunks > 1:
+            fn = make_shuffle_join_pipelined_fn(mesh, cap_r, cap_s, cap_res,
+                                                num_chunks=nchunks)
+        else:
+            fn = make_shuffle_join_fn(mesh, cap_r, cap_s, cap_res)
         r_out, s_out, totals, ovf = fn(rk, ri, sk, si)
         ovf = np.asarray(ovf)
         if ovf[0] <= cap_r and ovf[1] <= cap_s and ovf[2] <= cap_res:
@@ -215,11 +313,11 @@ def distributed_hash_join(
     else:
         raise RuntimeError(f"shuffle join capacities did not converge: {ovf}")
 
-    r_out = np.asarray(r_out).reshape(ndev, -1)
-    s_out = np.asarray(s_out).reshape(ndev, -1)
+    r_out = np.asarray(r_out).reshape(ndev * nchunks, -1)
+    s_out = np.asarray(s_out).reshape(ndev * nchunks, -1)
     totals = np.asarray(totals).reshape(-1)
-    parts_r = [r_out[d, : totals[d]] for d in range(ndev)]
-    parts_s = [s_out[d, : totals[d]] for d in range(ndev)]
+    parts_r = [r_out[d, : totals[d]] for d in range(ndev * nchunks)]
+    parts_s = [s_out[d, : totals[d]] for d in range(ndev * nchunks)]
     return (
         np.concatenate(parts_r) if parts_r else np.empty(0, np.int32),
         np.concatenate(parts_s) if parts_s else np.empty(0, np.int32),
