@@ -59,3 +59,22 @@ def test_zipf_distribution_flag(capsys):
         "--key-max", "1000", "--distribution", "zipf", "--verify"])
     assert rc == 0
     assert "success: 1" in out
+
+
+@pytest.mark.parametrize("how,variant", [("semi", "join_v1"),
+                                         ("left", "join_v2"),
+                                         ("anti", "join_v1")])
+def test_join_how_variants(capsys, how, variant):
+    rc, out = run(capsys, [
+        variant, "--build-rows", "1000", "--probe-rows", "1500",
+        "--key-max", "200", "--how", how])
+    assert rc == 0
+    assert "result rows:" in out
+
+
+def test_join_v2_engine_verifies(capsys):
+    rc, out = run(capsys, [
+        "join_v2", "--build-rows", "3000", "--probe-rows", "3000",
+        "--key-max", "400", "--verify"])
+    assert rc == 0
+    assert "success: 1" in out

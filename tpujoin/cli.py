@@ -48,6 +48,7 @@ def cmd_join(args, variant: str):
     import jax
     import jax.numpy as jnp
     from tpujoin.ops import hash_join as hj
+    from tpujoin.ops import merge_join as mj
     from tpujoin import oracle
     from tpujoin.utils.shapes import round_up
 
@@ -57,16 +58,39 @@ def cmd_join(args, variant: str):
                    args.distribution)
     jax.block_until_ready((bk, pk))
 
+    if args.how != "inner":
+        fn = {"left": mj.left_outer_join, "semi": mj.semi_join,
+              "anti": mj.anti_join}[args.how]
+        out = _timed(args.how, lambda: fn(np.asarray(bk), np.asarray(pk)))
+        rows = len(out[0]) if isinstance(out, tuple) else len(out)
+        print(f"result rows: {rows}", flush=True)
+        return 0
+
     ht = _timed("build", lambda: jax.block_until_ready(hj.build(bk)))
-    lo, counts = _timed(
-        "count", lambda: jax.block_until_ready(hj.probe_count(ht, pk)))
-    total = int(jnp.sum(counts))
-    print(f"result rows: {total}", flush=True)  # cf. join_v1.mlir:596-597
-    cap = round_up(total, 1 << 20)
-    r_ids, s_ids, _ = _timed(
-        "probe",
-        lambda: jax.block_until_ready(hj.probe_materialize(ht, lo, counts, cap)),
-    )
+    if variant == "join_v2":
+        # v2 = the Pallas sort-merge probe pipeline (same semantics as v1,
+        # re-engineered hot path — the engine's analogue of the reference's
+        # join_v1 -> join_v2 optimization step)
+        state, total_a, nonzero_a = _timed(
+            "count", lambda: jax.block_until_ready(mj.probe_count(ht, pk)))
+        total, nonzero = int(total_a), int(nonzero_a)
+        print(f"result rows: {total}", flush=True)
+        cap = round_up(total, 1 << 20)
+        k_cap = round_up(nonzero, 1 << 17)
+        r_ids, s_ids, _ = _timed(
+            "probe",
+            lambda: jax.block_until_ready(
+                mj.probe_materialize(ht, state, k_cap, cap)))
+    else:
+        lo, counts = _timed(
+            "count", lambda: jax.block_until_ready(hj.probe_count(ht, pk)))
+        total = int(jnp.sum(counts))
+        print(f"result rows: {total}", flush=True)  # cf. join_v1.mlir:596-597
+        cap = round_up(total, 1 << 20)
+        r_ids, s_ids, _ = _timed(
+            "probe",
+            lambda: jax.block_until_ready(
+                hj.probe_materialize(ht, lo, counts, cap)))
     if args.verify:
         ok = oracle.check_join(np.asarray(bk), np.asarray(pk),
                                np.asarray(r_ids[:total]),
@@ -179,7 +203,10 @@ def main(argv=None):
             p.add_argument("--probe-rows", type=int, default=1_000_000)
 
     for name in ("join_v1", "join_v2"):
-        common(sub.add_parser(name, help="chained equi-join workload"))
+        p = sub.add_parser(name, help="chained equi-join workload")
+        common(p)
+        p.add_argument("--how", default="inner",
+                       choices=["inner", "left", "semi", "anti"])
     common(sub.add_parser("nested_loop", help="nested-loop join workload"))
     p = sub.add_parser("selection", help="filter + stream compaction")
     common(p, rows=True)

@@ -30,60 +30,77 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpujoin.utils.shapes import round_up
 
-TILE = 1024              # output slots per grid step (= XLA 1-D i32 tiling)
+TILE = 1024              # output slots per sub-tile (= XLA 1-D i32 tiling)
 ALIGN = 1024             # HBM i32 memref tiling: DMA offset/size granule
-SLAB = 2 * ALIGN         # row slab per tile (aligned superset of the rows)
+SLAB = 2 * ALIGN         # row slab per sub-tile (aligned superset of rows)
 STRIP = 512              # compare-strip width (caps [TILE, STRIP] temps)
+BATCH = 4                # sub-tiles per grid step: amortizes grid overhead
+                         # and overlaps slab DMAs with earlier compute
 PAD_OFF = jnp.int32(0x7FFFFFFF)
 
 
 def _kernel(r0_ref, off_hbm, lo_hbm, sid_hbm, bpos_ref, sid_ref,
             off_buf, lo_buf, sid_buf, sems):
     i = pl.program_id(0)
-    # slab start, pre-aligned to ALIGN on the host; covers rows
-    # [r0, r0 + TILE) plus up to ALIGN-1 earlier rows — harmless: the
-    # "last row with offset <= t" reduction ignores extra leading rows
-    r0 = pl.multiple_of(r0_ref[i], ALIGN)
-    t0 = i * TILE
 
-    cp_off = pltpu.make_async_copy(off_hbm.at[pl.ds(r0, SLAB)], off_buf,
-                                   sems.at[0])
-    cp_lo = pltpu.make_async_copy(lo_hbm.at[pl.ds(r0, SLAB)], lo_buf,
-                                  sems.at[1])
-    cp_sid = pltpu.make_async_copy(sid_hbm.at[pl.ds(r0, SLAB)], sid_buf,
-                                   sems.at[2])
-    cp_off.start(), cp_lo.start(), cp_sid.start()
-    cp_off.wait(), cp_lo.wait(), cp_sid.wait()
+    def dmas(j):
+        # slab start, pre-aligned to ALIGN on the host; covers rows
+        # [r0, r0 + TILE) plus up to ALIGN-1 earlier rows — harmless: the
+        # "last row with offset <= t" reduction ignores extra leading rows
+        r0 = pl.multiple_of(r0_ref[i * BATCH + j], ALIGN)
+        sl = slice(j * SLAB, (j + 1) * SLAB)
+        return (
+            pltpu.make_async_copy(off_hbm.at[pl.ds(r0, SLAB)],
+                                  off_buf.at[sl], sems.at[3 * j]),
+            pltpu.make_async_copy(lo_hbm.at[pl.ds(r0, SLAB)],
+                                  lo_buf.at[sl], sems.at[3 * j + 1]),
+            pltpu.make_async_copy(sid_hbm.at[pl.ds(r0, SLAB)],
+                                  sid_buf.at[sl], sems.at[3 * j + 2]),
+        )
 
-    t = (t0 + jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0))  # [T,1]
+    # issue every slab DMA up front; compute on sub-tile j overlaps the
+    # in-flight copies for j+1..BATCH-1
+    for j in range(BATCH):
+        for cp in dmas(j):
+            cp.start()
 
-    # pass 1: row containing t = LAST slab row with offset <= t, reduced
-    # strip by strip (offsets/lo are non-decreasing -> masked running max)
-    off_row = jnp.full((TILE, 1), -1, jnp.int32)
-    lo_row = jnp.full((TILE, 1), -1, jnp.int32)
-    for s in range(SLAB // STRIP):
-        offs = off_buf[s * STRIP:(s + 1) * STRIP].reshape(1, STRIP)
-        los = lo_buf[s * STRIP:(s + 1) * STRIP].reshape(1, STRIP)
-        covered = offs <= t
-        off_row = jnp.maximum(
-            off_row, jnp.max(jnp.where(covered, offs, -1), axis=1,
-                             keepdims=True))
-        lo_row = jnp.maximum(
-            lo_row, jnp.max(jnp.where(covered, los, -1), axis=1,
-                            keepdims=True))
+    for j in range(BATCH):
+        for cp in dmas(j):
+            cp.wait()
+        base = j * SLAB
+        t0 = (i * BATCH + j) * TILE
+        t = (t0 + jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0))
 
-    # pass 2: one-hot select of the non-monotone probe id (offsets strictly
-    # increase over compacted rows -> the matching row is unique)
-    sid_row = jnp.zeros((TILE, 1), jnp.int32)
-    for s in range(SLAB // STRIP):
-        offs = off_buf[s * STRIP:(s + 1) * STRIP].reshape(1, STRIP)
-        sids = sid_buf[s * STRIP:(s + 1) * STRIP].reshape(1, STRIP)
-        sid_row = sid_row + jnp.sum(
-            jnp.where(offs == off_row, sids, 0), axis=1, keepdims=True)
+        # pass 1: row containing t = LAST slab row with offset <= t,
+        # strip by strip (offsets/lo non-decreasing -> masked running max)
+        off_row = jnp.full((TILE, 1), -1, jnp.int32)
+        lo_row = jnp.full((TILE, 1), -1, jnp.int32)
+        for s in range(SLAB // STRIP):
+            sl = slice(base + s * STRIP, base + (s + 1) * STRIP)
+            offs = off_buf[sl].reshape(1, STRIP)
+            los = lo_buf[sl].reshape(1, STRIP)
+            covered = offs <= t
+            off_row = jnp.maximum(
+                off_row, jnp.max(jnp.where(covered, offs, -1), axis=1,
+                                 keepdims=True))
+            lo_row = jnp.maximum(
+                lo_row, jnp.max(jnp.where(covered, los, -1), axis=1,
+                                keepdims=True))
 
-    j = t - off_row
-    bpos_ref[:] = (lo_row + j).reshape(TILE)
-    sid_ref[:] = sid_row.reshape(TILE)
+        # pass 2: one-hot select of the non-monotone probe id (offsets
+        # strictly increase over compacted rows -> the match is unique)
+        sid_row = jnp.zeros((TILE, 1), jnp.int32)
+        for s in range(SLAB // STRIP):
+            sl = slice(base + s * STRIP, base + (s + 1) * STRIP)
+            offs = off_buf[sl].reshape(1, STRIP)
+            sids = sid_buf[sl].reshape(1, STRIP)
+            sid_row = sid_row + jnp.sum(
+                jnp.where(offs == off_row, sids, 0), axis=1, keepdims=True)
+
+        out_sl = slice(j * TILE, (j + 1) * TILE)
+        jj = t - off_row
+        bpos_ref[out_sl] = (lo_row + jj).reshape(TILE)
+        sid_ref[out_sl] = sid_row.reshape(TILE)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "interpret"))
@@ -102,7 +119,7 @@ def expand(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     k = offsets.shape[0]
-    cap = round_up(capacity, TILE)
+    cap = round_up(capacity, TILE * BATCH)
     # slab pad: rows past K must never be selected -> offset sentinel MAX;
     # sized so every ALIGN-aligned slab start keeps the full SLAB in range
     kp = round_up(max(k, 1), ALIGN) + SLAB
@@ -119,7 +136,7 @@ def expand(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(num_tiles,),
+        grid=(num_tiles // BATCH,),
         in_specs=[
             # HBM: untiled, so the data-dependent slab offset r0 needs no
             # alignment proof for the DMA
@@ -128,14 +145,16 @@ def expand(
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE,), lambda i, *_: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE,), lambda i, *_: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE * BATCH,), lambda i, *_: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE * BATCH,), lambda i, *_: (i,),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((SLAB,), jnp.int32),
-            pltpu.VMEM((SLAB,), jnp.int32),
-            pltpu.VMEM((SLAB,), jnp.int32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((BATCH * SLAB,), jnp.int32),
+            pltpu.VMEM((BATCH * SLAB,), jnp.int32),
+            pltpu.VMEM((BATCH * SLAB,), jnp.int32),
+            pltpu.SemaphoreType.DMA((3 * BATCH,)),
         ],
     )
     bpos, sid_out = pl.pallas_call(
