@@ -21,10 +21,20 @@ projectDescription.md:3-4) re-designed TPU-first:
 from tpujoin.core.table import Table
 from tpujoin.core.config import JoinConfig, PRESETS
 from tpujoin.ops.hash_join import hash_join, HashJoinTable
+from tpujoin.ops.merge_join import (
+    anti_join,
+    left_outer_join,
+    merge_join,
+    merge_join_rle,
+    semi_join,
+)
+from tpujoin.ops.table_join import join_tables
+from tpujoin.ops.multi_join import hash_join_multi, join_with_pushdown
 from tpujoin.ops.filter import filter_table
 from tpujoin.ops.nested_loop_join import nested_loop_join
-from tpujoin.ops.aggregate import group_by_count
+from tpujoin.ops.aggregate import group_by_agg, group_by_count
 from tpujoin.ops.sort import sort_by_key
+from tpujoin.parallel.shuffle_join import distributed_hash_join
 
 __all__ = [
     "Table",
@@ -32,10 +42,20 @@ __all__ = [
     "PRESETS",
     "hash_join",
     "HashJoinTable",
+    "merge_join",
+    "merge_join_rle",
+    "semi_join",
+    "anti_join",
+    "left_outer_join",
+    "join_tables",
+    "hash_join_multi",
+    "join_with_pushdown",
     "filter_table",
     "nested_loop_join",
     "group_by_count",
+    "group_by_agg",
     "sort_by_key",
+    "distributed_hash_join",
 ]
 
 __version__ = "0.1.0"

@@ -69,33 +69,36 @@ def _kernel(r0_ref, off_hbm, lo_hbm, sid_hbm, bpos_ref, sid_ref,
             cp.wait()
         base = j * SLAB
         t0 = (i * BATCH + j) * TILE
-        t = (t0 + jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0))
+        # outputs along LANES: reductions then run along sublanes and the
+        # accumulators keep a dense (1, TILE) lane layout (measured ~1.6x
+        # on the sibling merge_count kernel vs the (TILE, 1) orientation)
+        t = (t0 + jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1))
 
         # pass 1: row containing t = LAST slab row with offset <= t,
         # strip by strip (offsets/lo non-decreasing -> masked running max)
-        off_row = jnp.full((TILE, 1), -1, jnp.int32)
-        lo_row = jnp.full((TILE, 1), -1, jnp.int32)
+        off_row = jnp.full((1, TILE), -1, jnp.int32)
+        lo_row = jnp.full((1, TILE), -1, jnp.int32)
         for s in range(SLAB // STRIP):
             sl = slice(base + s * STRIP, base + (s + 1) * STRIP)
-            offs = off_buf[sl].reshape(1, STRIP)
-            los = lo_buf[sl].reshape(1, STRIP)
+            offs = off_buf[sl].reshape(STRIP, 1)
+            los = lo_buf[sl].reshape(STRIP, 1)
             covered = offs <= t
             off_row = jnp.maximum(
-                off_row, jnp.max(jnp.where(covered, offs, -1), axis=1,
+                off_row, jnp.max(jnp.where(covered, offs, -1), axis=0,
                                  keepdims=True))
             lo_row = jnp.maximum(
-                lo_row, jnp.max(jnp.where(covered, los, -1), axis=1,
+                lo_row, jnp.max(jnp.where(covered, los, -1), axis=0,
                                 keepdims=True))
 
         # pass 2: one-hot select of the non-monotone probe id (offsets
         # strictly increase over compacted rows -> the match is unique)
-        sid_row = jnp.zeros((TILE, 1), jnp.int32)
+        sid_row = jnp.zeros((1, TILE), jnp.int32)
         for s in range(SLAB // STRIP):
             sl = slice(base + s * STRIP, base + (s + 1) * STRIP)
-            offs = off_buf[sl].reshape(1, STRIP)
-            sids = sid_buf[sl].reshape(1, STRIP)
+            offs = off_buf[sl].reshape(STRIP, 1)
+            sids = sid_buf[sl].reshape(STRIP, 1)
             sid_row = sid_row + jnp.sum(
-                jnp.where(offs == off_row, sids, 0), axis=1, keepdims=True)
+                jnp.where(offs == off_row, sids, 0), axis=0, keepdims=True)
 
         out_sl = slice(j * TILE, (j + 1) * TILE)
         jj = t - off_row

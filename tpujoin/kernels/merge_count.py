@@ -49,7 +49,9 @@ def _kernel(w0_ref, nchunks_ref, pk_ref, b_hbm, lo_ref, cnt_ref,
     i = pl.program_id(0)
     w0 = w0_ref[i]
     nchunks = nchunks_ref[i]
-    p = pk_ref[:].reshape(TILE, 1)
+    # probe keys along LANES: the per-chunk reduction then runs along
+    # sublanes (cheap) and accumulators keep a dense (1, TILE) lane layout
+    p = pk_ref[:].reshape(1, TILE)
     # tile key range (probe keys are sorted, so first/last are the bounds)
     p_min = pk_ref[0]
     p_max = pk_ref[TILE - 1]
@@ -71,28 +73,28 @@ def _kernel(w0_ref, nchunks_ref, pk_ref, b_hbm, lo_ref, cnt_ref,
         c_max = bbuf[CHUNK - 1]
 
         def dense(_):
-            lo_d = jnp.zeros((TILE, 1), jnp.int32)
-            cnt_d = jnp.zeros((TILE, 1), jnp.int32)
+            lo_d = jnp.zeros((1, TILE), jnp.int32)
+            cnt_d = jnp.zeros((1, TILE), jnp.int32)
             chunk = bbuf[:]
             for s in range(CHUNK // SUB):
-                piece = chunk[s * SUB:(s + 1) * SUB].reshape(1, SUB)
+                piece = chunk[s * SUB:(s + 1) * SUB].reshape(SUB, 1)
                 lo_d = lo_d + jnp.sum(
-                    (piece < p).astype(jnp.int32), axis=1, keepdims=True)
+                    (piece < p).astype(jnp.int32), axis=0, keepdims=True)
                 cnt_d = cnt_d + jnp.sum(
-                    (piece == p).astype(jnp.int32), axis=1, keepdims=True)
+                    (piece == p).astype(jnp.int32), axis=0, keepdims=True)
             return lo_d, cnt_d
 
         def skip(_):
             below = (c_max < p_min).astype(jnp.int32) * jnp.int32(CHUNK)
-            return (jnp.full((TILE, 1), below, jnp.int32),
-                    jnp.zeros((TILE, 1), jnp.int32))
+            return (jnp.full((1, TILE), below, jnp.int32),
+                    jnp.zeros((1, TILE), jnp.int32))
 
         is_boundary = jnp.logical_not(
             jnp.logical_or(c_max < p_min, c_min > p_max))
         lo_d, cnt_d = jax.lax.cond(is_boundary, dense, skip, None)
         return lo_acc + lo_d, cnt_acc + cnt_d
 
-    zero = jnp.zeros((TILE, 1), jnp.int32)
+    zero = jnp.zeros((1, TILE), jnp.int32)
     lo_acc, cnt_acc = jax.lax.fori_loop(0, nchunks, body, (zero, zero))
     lo_ref[:] = (w0 + lo_acc.reshape(TILE)).astype(jnp.int32)
     cnt_ref[:] = cnt_acc.reshape(TILE).astype(jnp.int32)
