@@ -18,10 +18,6 @@ import numpy as np
 
 from tpujoin.core.table import Table
 
-_DTYPES = {"int32": np.int32, "int64": np.int64, "float32": np.float32,
-           "float64": np.float64, "uint32": np.uint32, "bool": np.bool_}
-
-
 def save_table_npz(table: Table, path) -> None:
     np.savez_compressed(path, **table.to_numpy())
 
@@ -50,14 +46,13 @@ def load_table_dir(path, *, mmap: bool = True) -> Table:
     schema = json.loads((p / "schema.json").read_text())
     cols = {}
     for name, meta in schema.items():
-        dtype = _DTYPES[meta["dtype"]]
+        dtype = np.dtype(meta["dtype"])  # any numpy dtype string roundtrips
         f = p / f"{name}.bin"
         if mmap:
             cols[name] = np.memmap(f, dtype=dtype, mode="r",
                                    shape=(meta["rows"],))
         else:
             cols[name] = np.fromfile(f, dtype=dtype, count=meta["rows"])
-    # numpy arrays are fine as Table columns pre-device-placement
-    t = Table.__new__(Table)
-    t.columns = cols
-    return t
+    # numpy/memmap columns are fine pre-device-placement; the constructor
+    # still validates equal lengths against a corrupted schema
+    return Table(cols)

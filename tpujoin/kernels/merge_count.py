@@ -40,7 +40,7 @@ from tpujoin.utils.shapes import cdiv, round_up
 
 TILE = 1024        # probe keys per grid step
 CHUNK = 1024       # build keys per DMA
-SUB = 256          # compare-slab width (caps the [TILE, SUB] intermediate)
+SUB = 512          # compare-slab rows per step (caps the [SUB, TILE] temps)
 PAD_KEY = jnp.int32(0x7FFFFFFF)
 
 
@@ -68,7 +68,7 @@ def _kernel(w0_ref, nchunks_ref, pk_ref, b_hbm, lo_ref, cnt_ref,
         # chunk skip fast-paths (both arrays sorted): a chunk entirely
         # below the tile's key range adds CHUNK to every rank and nothing
         # to counts; entirely above adds nothing. Only boundary chunks pay
-        # the dense [TILE, SUB] compares — typically 1-2 per tile.
+        # the dense (SUB, TILE) compares — typically 1-2 per tile.
         c_min = bbuf[0]
         c_max = bbuf[CHUNK - 1]
 

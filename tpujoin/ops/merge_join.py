@@ -74,7 +74,12 @@ def probe_materialize(
     probe_base: int | jax.Array = 0,
 ):
     """Materialize phase at static capacities (k_cap >= nonzero_rows,
-    capacity >= total). Returns (r_ids, s_ids, total), pad slots = -1."""
+    capacity >= total). Returns (r_ids, s_ids, total), pad slots = -1.
+
+    WARNING: capacity < total cannot be detected inside jit — the output is
+    then a silent prefix truncation of the pair multiset. Compare the
+    returned ``total`` against your capacity (the drivers in this module
+    always size capacity from the count phase's total)."""
     cnt = state.counts
     # compaction to rows with >= 1 match, by STABLE SORT on the zero flag:
     # nonzero rows keep their (sorted-probe) relative order, zero rows sink
