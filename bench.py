@@ -62,16 +62,34 @@ def bench_join_dense(cfg: JoinConfig, verify: bool) -> dict:
     rle_stat = time_fn(lambda: mj_mod.probe_rle(ht, state, k_cap),
                        name="rle_result", rows=nonzero)
 
-    # pair-expansion rate, sampled on one probe chunk
-    chunk = min(1 << 21, cfg.probe_rows)
-    pk_c = jax.lax.slice_in_dim(pk, 0, chunk)
-    state_c, total_c_a, nz_c_a = mj_mod.probe_count(ht, pk_c)
-    total_c, nz_c = int(total_c_a), int(nz_c_a)
-    cap_c = round_up(total_c, 1 << 20)
-    kc = round_up(nz_c, 1 << 18)
-    mat_stat = time_fn(
-        lambda: mj_mod.probe_materialize(ht, state_c, kc, cap_c),
-        name="materialize_chunk", rows=total_c)
+    # full-result pair materialization via the run-expansion kernel
+    # (kernels.expand_runs): gather-free, so the full ~1B-pair result is
+    # materialized on-device (the reference holds it in 8.5 GB of GPU
+    # memory, join-performances.md:5)
+    cap = round_up(total, 1 << 20)
+    total_m = total
+    mat_stat = None
+    for slab in (4096, 16384):
+        _, _, _, fits = mj_mod.probe_materialize_runs(
+            ht, state, k_cap, cap, src_slab=slab)
+        if bool(fits):
+            mat_stat = time_fn(
+                lambda: mj_mod.probe_materialize_runs(
+                    ht, state, k_cap, cap, src_slab=slab),
+                name="materialize_pairs", rows=total,
+                bytes_touched=cap * 8)
+            break
+    if mat_stat is None:
+        # fallback: expand+take on a probe chunk (low-dup shaped data)
+        chunk = min(1 << 21, cfg.probe_rows)
+        pk_c = jax.lax.slice_in_dim(pk, 0, chunk)
+        state_c, total_c_a, nz_c_a = mj_mod.probe_count(ht, pk_c)
+        total_m, nz_c = int(total_c_a), int(nz_c_a)
+        cap_c = round_up(total_m, 1 << 20)
+        kc = round_up(nz_c, 1 << 18)
+        mat_stat = time_fn(
+            lambda: mj_mod.probe_materialize(ht, state_c, kc, cap_c),
+            name="materialize_chunk", rows=total_m)
     for st in (build_stat, count_stat, rle_stat, mat_stat):
         eprint(json.dumps(st.as_dict()))
 
@@ -97,7 +115,11 @@ def bench_join_dense(cfg: JoinConfig, verify: bool) -> dict:
         "build_seconds": build_stat.seconds,
         "count_seconds": count_stat.seconds,
         "materialize_seconds": rle_stat.seconds,
-        "pair_expansion_rows_per_sec": total_c / mat_stat.seconds,
+        "pair_expansion_rows_per_sec": total_m / mat_stat.seconds,
+        "pair_materialize_seconds": mat_stat.seconds,
+        "total_seconds_materialized": (build_stat.seconds
+                                       + count_stat.seconds
+                                       + mat_stat.seconds),
         "total_seconds": build_stat.seconds + probe_seconds,
         "probe_rows_per_sec": cfg.probe_rows / probe_seconds,
         "hbm_peak_gbps": hbm_peak_gbps(dev),

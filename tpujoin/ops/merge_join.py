@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpujoin.kernels.expand import expand
+from tpujoin.kernels.expand_runs import expand_runs
 from tpujoin.kernels.merge_count import merge_count
 from tpujoin.ops.hash_join import HashJoinTable, build
 from tpujoin.utils.shapes import round_up
@@ -107,6 +108,52 @@ def probe_materialize(
     r_ids = jnp.where(valid, jnp.take(ht.sorted_ids, bpos), -1)
     s_ids = jnp.where(valid, sid_out + probe_base, -1)
     return r_ids.astype(jnp.int32), s_ids.astype(jnp.int32), total
+
+
+# avg matches/row above which the run-expansion kernel wins over
+# expand+take (its per-pair cost falls with run length; the gather
+# fallback is flat at ~123M pairs/s)
+RUNS_MIN_DUP = 8
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k_cap", "capacity", "src_slab"))
+def probe_materialize_runs(
+    ht: HashJoinTable,
+    state: SortedProbe,
+    k_cap: int,
+    capacity: int,
+    probe_base: int | jax.Array = 0,
+    src_slab: int | None = None,
+):
+    """Materialize phase on the run-expansion kernel (kernels.expand_runs):
+    emits (r_ids, s_ids) directly from the compacted runs — no intermediate
+    build positions, no XLA gather. Returns (r_ids, s_ids, total, fits);
+    ``fits`` False means the workload's runs don't fit the kernel's slabs
+    (low duplication / wild source spread) and the caller must use
+    :func:`probe_materialize` instead. Outputs are only valid when fits."""
+    cnt = state.counts
+    z = (cnt == 0).astype(jnp.int32)
+    _, lo_s, cnt_s, sid_s = jax.lax.sort(
+        (z, state.lo, cnt, state.probe_ids), num_keys=1)
+    m = cnt.shape[0]
+
+    def fit(a):
+        if k_cap <= m:
+            return jax.lax.slice_in_dim(a, 0, k_cap)
+        return jnp.pad(a, (0, k_cap - m))
+
+    lo_c, cnt_c, sid_c = fit(lo_s), fit(cnt_s), fit(sid_s)
+    offs_c = jnp.cumsum(cnt_c) - cnt_c
+    total = jnp.sum(cnt)
+    nonzero = jnp.sum((cnt > 0).astype(jnp.int32))
+
+    kw = {} if src_slab is None else {"src_slab": src_slab}
+    r_ids, s_ids, fits = expand_runs(
+        offs_c, lo_c, cnt_c, sid_c, ht.sorted_ids, nonzero, total, capacity,
+        **kw)
+    s_ids = jnp.where(s_ids >= 0, s_ids + probe_base, -1).astype(jnp.int32)
+    return r_ids, s_ids, total, fits
 
 
 @functools.partial(jax.jit, static_argnames=("k_cap",))
@@ -213,8 +260,18 @@ def merge_join(
             continue
         cap = round_up(total, result_pad_multiple)
         k_cap = round_up(nonzero, max(result_pad_multiple // 8, 1024))
-        r_ids, s_ids, _ = probe_materialize(ht, state, k_cap, cap,
-                                            probe_base=start)
+        r_ids = s_ids = None
+        if total >= nonzero * RUNS_MIN_DUP:
+            from tpujoin.kernels.expand_runs import SRC_SLABS
+            for slab in SRC_SLABS:
+                r_ids, s_ids, _, fits = probe_materialize_runs(
+                    ht, state, k_cap, cap, probe_base=start, src_slab=slab)
+                if bool(fits):
+                    break
+                r_ids = s_ids = None
+        if r_ids is None:
+            r_ids, s_ids, _ = probe_materialize(ht, state, k_cap, cap,
+                                                probe_base=start)
         out_r.append(np.asarray(r_ids[:total]))
         out_s.append(np.asarray(s_ids[:total]))
 
