@@ -62,22 +62,25 @@ def bench_join_dense(cfg: JoinConfig, verify: bool) -> dict:
     rle_stat = time_fn(lambda: mj_mod.probe_rle(ht, state, k_cap),
                        name="rle_result", rows=nonzero)
 
-    # full-result pair materialization via the run-expansion kernel
-    # (kernels.expand_runs): gather-free, so the full ~1B-pair result is
-    # materialized on-device (the reference holds it in 8.5 GB of GPU
-    # memory, join-performances.md:5)
+    # full-result pair materialization via the group-periodic kernel
+    # (kernels.expand_groups; kernels.expand_runs as fallback):
+    # gather-free, so the full ~1B-pair result is materialized on-device
+    # (the reference holds it in 8.5 GB of GPU memory,
+    # join-performances.md:5)
     cap = round_up(total, 1 << 20)
     total_m = total
     mat_stat = None
-    for slab in (4096, 16384):
-        _, _, _, fits = mj_mod.probe_materialize_runs(
-            ht, state, k_cap, cap, src_slab=slab)
-        if bool(fits):
-            mat_stat = time_fn(
-                lambda: mj_mod.probe_materialize_runs(
-                    ht, state, k_cap, cap, src_slab=slab),
-                name="materialize_pairs", rows=total,
-                bytes_touched=cap * 8)
+    for fn_name in ("probe_materialize_groups", "probe_materialize_runs"):
+        mat_fn = getattr(mj_mod, fn_name)
+        for slab in (4096, 16384):
+            _, _, _, fits = mat_fn(ht, state, k_cap, cap, src_slab=slab)
+            if bool(fits):
+                mat_stat = time_fn(
+                    lambda: mat_fn(ht, state, k_cap, cap, src_slab=slab),
+                    name=f"materialize_pairs[{fn_name.rsplit('_', 1)[-1]}]",
+                    rows=total, bytes_touched=cap * 8)
+                break
+        if mat_stat is not None:
             break
     if mat_stat is None:
         # fallback: expand+take on a probe chunk (low-dup shaped data)

@@ -18,3 +18,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# NOTE: do NOT enable jax_compilation_cache_dir here — writing the cache
+# entry for the large interpret-mode Pallas executables segfaults this
+# jaxlib (zstd serialization crash in compilation_cache.put_executable).

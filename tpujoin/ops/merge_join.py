@@ -114,6 +114,10 @@ def probe_materialize(
 # expand+take (its per-pair cost falls with run length; the gather
 # fallback is flat at ~123M pairs/s)
 RUNS_MIN_DUP = 8
+# avg matches/row above which the group-periodic kernel's static envelope
+# (W runs/tile, GW group heads/step) plausibly fits — below this, don't
+# waste a kernel launch discovering fits=False
+GROUPS_MIN_DUP = 24
 
 
 @functools.partial(jax.jit,
@@ -152,6 +156,74 @@ def probe_materialize_runs(
     r_ids, s_ids, fits = expand_runs(
         offs_c, lo_c, cnt_c, sid_c, ht.sorted_ids, nonzero, total, capacity,
         **kw)
+    s_ids = jnp.where(s_ids >= 0, s_ids + probe_base, -1).astype(jnp.int32)
+    return r_ids, s_ids, total, fits
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k_cap", "capacity", "src_slab",
+                                    "profile"))
+def probe_materialize_groups(
+    ht: HashJoinTable,
+    state: SortedProbe,
+    k_cap: int,
+    capacity: int,
+    probe_base: int | jax.Array = 0,
+    src_slab: int | None = None,
+    profile: tuple[int, int, int] | None = None,
+):
+    """Materialize phase on the group-periodic kernel
+    (kernels.expand_groups): one periodic fill per distinct matched key
+    instead of one rotation per run — the fast path when probe keys repeat
+    (per-output work falls by the probe-side duplication factor). Returns
+    (r_ids, s_ids, total, fits); ``fits`` False means the workload's
+    runs/groups/source windows don't fit the kernel's slabs and the caller
+    must fall back. Outputs are only valid when fits. ``profile`` is an
+    optional (batch, w, gw) static unroll envelope override; on the CPU
+    backend an unset profile defaults to a small envelope — the default
+    TPU profile's interpret-mode graph crashes XLA:CPU outright (observed
+    segfault in backend_compile), and a tighter envelope only costs extra
+    fits=False fallbacks, never wrong results."""
+    from tpujoin.kernels.expand_groups import expand_groups
+
+    if profile is None and jax.default_backend() == "cpu":
+        profile = (4, 16, 8)
+
+    cnt = state.counts
+    z = (cnt == 0).astype(jnp.int32)
+    _, lo_s, cnt_s, sid_s = jax.lax.sort(
+        (z, state.lo, cnt, state.probe_ids), num_keys=1)
+    m = cnt.shape[0]
+
+    def fit(a):
+        if k_cap <= m:
+            return jax.lax.slice_in_dim(a, 0, k_cap)
+        return jnp.pad(a, (0, k_cap - m))
+
+    lo_c, cnt_c, sid_c = fit(lo_s), fit(cnt_s), fit(sid_s)
+    offs_c = jnp.cumsum(cnt_c) - cnt_c
+    total = jnp.sum(cnt)
+    nonzero = jnp.sum((cnt > 0).astype(jnp.int32))
+
+    # group extraction: equal probe keys share one (lo, cnt) build range,
+    # and lo strictly increases across distinct matched keys, so group
+    # heads are exactly the rows where lo changes. Compact heads by one
+    # stable sort on a sentinel key (the same compact-by-sort idiom as the
+    # run compaction above).
+    row = jnp.arange(k_cap, dtype=jnp.int32)
+    prev_lo = jnp.concatenate([lo_c[:1] - 1, lo_c[:-1]])
+    is_head = jnp.logical_and(row < nonzero, lo_c != prev_lo)
+    big = jnp.int32(0x7FFFFFFF)
+    goff_in = jnp.where(is_head, offs_c, big)
+    goff_h, glo_h, gnb_h = jax.lax.sort((goff_in, lo_c, cnt_c), num_keys=1)
+    ngroups = jnp.sum(is_head.astype(jnp.int32))
+
+    kw = {} if src_slab is None else {"src_slab": src_slab}
+    if profile is not None:
+        kw.update(zip(("batch", "w", "gw"), profile))
+    r_ids, s_ids, fits = expand_groups(
+        offs_c, sid_c, goff_h, glo_h, gnb_h, ht.sorted_ids,
+        nonzero, ngroups, total, capacity, **kw)
     s_ids = jnp.where(s_ids >= 0, s_ids + probe_base, -1).astype(jnp.int32)
     return r_ids, s_ids, total, fits
 
@@ -262,13 +334,27 @@ def merge_join(
         k_cap = round_up(nonzero, max(result_pad_multiple // 8, 1024))
         r_ids = s_ids = None
         if total >= nonzero * RUNS_MIN_DUP:
+            from tpujoin.kernels.expand_groups import \
+                SRC_SLABS as GROUP_SLABS
             from tpujoin.kernels.expand_runs import SRC_SLABS
-            for slab in SRC_SLABS:
-                r_ids, s_ids, _, fits = probe_materialize_runs(
-                    ht, state, k_cap, cap, probe_base=start, src_slab=slab)
-                if bool(fits):
-                    break
-                r_ids = s_ids = None
+            # fastest first: group-periodic kernel (static envelope) ->
+            # run-rotation kernel -> expand+take
+            if total >= nonzero * GROUPS_MIN_DUP:
+                for slab in GROUP_SLABS:
+                    r_ids, s_ids, _, fits = probe_materialize_groups(
+                        ht, state, k_cap, cap, probe_base=start,
+                        src_slab=slab)
+                    if bool(fits):
+                        break
+                    r_ids = s_ids = None
+            if r_ids is None:
+                for slab in SRC_SLABS:
+                    r_ids, s_ids, _, fits = probe_materialize_runs(
+                        ht, state, k_cap, cap, probe_base=start,
+                        src_slab=slab)
+                    if bool(fits):
+                        break
+                    r_ids = s_ids = None
         if r_ids is None:
             r_ids, s_ids, _ = probe_materialize(ht, state, k_cap, cap,
                                                 probe_base=start)
