@@ -293,17 +293,29 @@ def main():
                     help="operator to benchmark (headline metric is join)")
     ap.add_argument("--rows", type=int, default=None,
                     help="row count for non-join ops")
+    ap.add_argument("--trace", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of the benchmark "
+                         "into DIR (xprof/tensorboard format) — the "
+                         "kernel-truth profiler, standing in for the "
+                         "reference's Nsight Compute recipes "
+                         "(nsight-command:1-15)")
     args = ap.parse_args()
+
+    import contextlib
+    trace_ctx = (jax.profiler.trace(args.trace) if args.trace
+                 else contextlib.nullcontext())
 
     if args.op != "join":
         on_tpu = jax.devices()[0].platform != "cpu"
         rows = args.rows or (100_000_000 if on_tpu else 1_000_000)
-        if args.op == "aggregate":
-            detail = bench_aggregate(rows, max(rows // 10, 100), args.verify)
-        elif args.op == "filter":
-            detail = bench_filter(rows, args.verify)
-        else:
-            detail = bench_sort(rows)
+        with trace_ctx:
+            if args.op == "aggregate":
+                detail = bench_aggregate(rows, max(rows // 10, 100),
+                                         args.verify)
+            elif args.op == "filter":
+                detail = bench_filter(rows, args.verify)
+            else:
+                detail = bench_sort(rows)
         eprint(json.dumps(detail))
         print(json.dumps({
             "metric": f"{args.op}_rows_per_sec",
@@ -327,7 +339,8 @@ def main():
             distribution=cfg.distribution, zipf_s=cfg.zipf_s, seed=cfg.seed,
         )
 
-    detail = bench_join(cfg, args.verify, engine=args.engine)
+    with trace_ctx:
+        detail = bench_join(cfg, args.verify, engine=args.engine)
     eprint(json.dumps(detail))
 
     value = detail["probe_rows_per_sec"]
