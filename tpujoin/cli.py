@@ -28,8 +28,16 @@ import numpy as np
 
 
 def _timed(label: str, fn, *args, **kwargs):
+    # readback-synced (timing._sync): on the axon platform
+    # jax.block_until_ready returns at enqueue, so a bare perf_counter
+    # bracket would print launch latency, not kernel truth (the same
+    # pitfall as the reference's async-region timer brackets,
+    # reference run_test.sh:24 + shared.cpp:10-31)
+    from tpujoin.utils.timing import _sync
+
     t0 = time.perf_counter()
     out = fn(*args, **kwargs)
+    _sync(out)
     dt = time.perf_counter() - t0
     print(f"[{label}] {dt * 1e6:.0f} microseconds", flush=True)
     return out

@@ -35,16 +35,28 @@ def zipf_keys(
     distribution: for s == 1, CDF(k) ~= ln(k)/ln(N) so k = N**u; for s != 1,
     k = ((N**(1-s) - 1) * u + 1) ** (1/(1-s)). Key 1 maps to key_min
     (the heaviest hitter), preserving rank order.
+
+    f32 tail fidelity: the f32 inverse CDF quantizes large keys onto
+    ~2^23 distinct values (ULP at k ~ 1e9 is ~120), collapsing tail draws
+    onto few keys. Since the pdf is locally flat at ULP scale, the exact
+    within-bucket conditional is uniform — so an integer jitter of one
+    quantization bucket restores key-domain fidelity without changing the
+    distribution (TPU has no f64 to sample in directly).
     """
     domain = key_max - key_min + 1
-    u = jax.random.uniform(key, (n,), dtype=jnp.float32)
+    ku, kj = jax.random.split(key)
+    u = jax.random.uniform(ku, (n,), dtype=jnp.float32)
     if abs(s - 1.0) < 1e-6:
         k = jnp.exp(u * jnp.log(float(domain)))
     else:
         a = float(domain) ** (1.0 - s) - 1.0
         k = (a * u + 1.0) ** (1.0 / (1.0 - s))
-    k = jnp.clip(k.astype(jnp.int32), 1, domain)
-    return (k - 1 + key_min).astype(jnp.int32)
+    ki = jnp.clip(k, 1.0, float(domain)).astype(jnp.int32)
+    ulp = jnp.maximum((k * jnp.float32(2.0 ** -22)).astype(jnp.int32), 1)
+    jitter = (jax.random.uniform(kj, (n,), dtype=jnp.float32)
+              * ulp.astype(jnp.float32)).astype(jnp.int32)
+    ki = jnp.clip(ki + jitter, 1, domain)
+    return (ki - 1 + key_min).astype(jnp.int32)
 
 
 def make_keys(

@@ -183,9 +183,10 @@ def _kernel(mb_ref, gb_ref, sbrow_ref, lim_ref,
              + jax.lax.broadcasted_iota(jnp.int32, (PROWS, LANES), 1))
 
     def rd(ref, idx, limit):
-        # clamp SMEM reads so !fits configurations (whose outputs are
-        # discarded) still never read out of the scratch window
-        return ref[jnp.minimum(idx, limit - 1)]
+        # clamp SMEM reads on BOTH bounds so !fits and empty (total==0)
+        # configurations — whose outputs are discarded — still never read
+        # out of the scratch window (r0/g0 clip to -1 when nruns==0)
+        return ref[jnp.clip(idx, 0, limit - 1)]
 
     # ---- phase A: periodic image per active group (nb <= TILE only) ----
     for dd in range(GW):
@@ -324,8 +325,9 @@ def expand_groups(
                            method="scan_unrolled").astype(jnp.int32) - 1
     r0s = jnp.clip(r0s, 0, rlast)
     meta_base = jnp.clip((r0s // ALIGN) * ALIGN, 0, k_pad - META)
-    # the in-kernel cursor walks at most 8*(W-1) past r0 (bounded by the
-    # per-tile W fit below), and alignment costs < ALIGN:
+    # the in-kernel cursor advances at most BATCH*(W-1) past r0 and reads
+    # a W-1 window beyond it (both covered by the BATCH*W term below),
+    # and alignment costs < ALIGN:
     meta_fit = jnp.all(r0s - meta_base + BATCH * W < META)
 
     g0s = jnp.searchsorted(goffp, t0s, side="right",

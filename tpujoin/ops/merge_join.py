@@ -66,6 +66,48 @@ def probe_count(ht: HashJoinTable, probe_keys: jax.Array):
     return SortedProbe(pid, lo, cnt), total, nonzero
 
 
+def _compact(state: SortedProbe, k_cap: int):
+    """Compact count-phase state to rows with >= 1 match, by STABLE SORT
+    on the zero flag: nonzero rows keep their (sorted-probe) relative
+    order, zero rows sink to the tail. One vectorized sort beats
+    per-element scatters on TPU (measured: 3 element scatters at 100M
+    cost ~2.6 s; a packed 2-D scatter is even worse at ~8 s; the sort
+    network is ~0.6 s). Returns (lo_c, cnt_c, sid_c, offs_c, total,
+    nonzero) at static width k_cap."""
+    cnt = state.counts
+    z = (cnt == 0).astype(jnp.int32)
+    _, lo_s, cnt_s, sid_s = jax.lax.sort(
+        (z, state.lo, cnt, state.probe_ids), num_keys=1)
+    m = cnt.shape[0]
+
+    def fit(a):
+        if k_cap <= m:
+            return jax.lax.slice_in_dim(a, 0, k_cap)
+        return jnp.pad(a, (0, k_cap - m))
+
+    lo_c, cnt_c, sid_c = fit(lo_s), fit(cnt_s), fit(sid_s)
+    offs_c = jnp.cumsum(cnt_c) - cnt_c
+    total = jnp.sum(cnt)
+    nonzero = jnp.sum((cnt > 0).astype(jnp.int32))
+    return lo_c, cnt_c, sid_c, offs_c, total, nonzero
+
+
+def _group_heads(lo_c, cnt_c, offs_c, k_cap: int, nonzero):
+    """Group extraction: equal probe keys share one (lo, cnt) build range,
+    and lo strictly increases across distinct matched keys, so group heads
+    are exactly the rows where lo changes. Compact heads by one stable
+    sort on a sentinel key (the same compact-by-sort idiom as _compact).
+    Returns (goff_h, glo_h, gnb_h, ngroups)."""
+    row = jnp.arange(k_cap, dtype=jnp.int32)
+    prev_lo = jnp.concatenate([lo_c[:1] - 1, lo_c[:-1]])
+    is_head = jnp.logical_and(row < nonzero, lo_c != prev_lo)
+    big = jnp.int32(0x7FFFFFFF)
+    goff_in = jnp.where(is_head, offs_c, big)
+    goff_h, glo_h, gnb_h = jax.lax.sort((goff_in, lo_c, cnt_c), num_keys=1)
+    ngroups = jnp.sum(is_head.astype(jnp.int32))
+    return goff_h, glo_h, gnb_h, ngroups
+
+
 @functools.partial(jax.jit, static_argnames=("k_cap", "capacity"))
 def probe_materialize(
     ht: HashJoinTable,
@@ -81,25 +123,7 @@ def probe_materialize(
     then a silent prefix truncation of the pair multiset. Compare the
     returned ``total`` against your capacity (the drivers in this module
     always size capacity from the count phase's total)."""
-    cnt = state.counts
-    # compaction to rows with >= 1 match, by STABLE SORT on the zero flag:
-    # nonzero rows keep their (sorted-probe) relative order, zero rows sink
-    # to the tail. One vectorized sort beats per-element scatters on TPU
-    # (measured: 3 element scatters at 100M cost ~2.6 s; a packed 2-D
-    # scatter is even worse at ~8 s; the sort network is ~0.6 s).
-    z = (cnt == 0).astype(jnp.int32)
-    _, lo_s, cnt_s, sid_s = jax.lax.sort(
-        (z, state.lo, cnt, state.probe_ids), num_keys=1)
-    m = cnt.shape[0]
-
-    def fit(a):
-        if k_cap <= m:
-            return jax.lax.slice_in_dim(a, 0, k_cap)
-        return jnp.pad(a, (0, k_cap - m))
-
-    lo_c, cnt_c, sid_c = fit(lo_s), fit(cnt_s), fit(sid_s)
-    offs_c = jnp.cumsum(cnt_c) - cnt_c
-    total = jnp.sum(cnt)
+    lo_c, cnt_c, sid_c, offs_c, total, _ = _compact(state, k_cap)
 
     bpos, sid_out = expand(offs_c, lo_c, sid_c, capacity)
     t = jnp.arange(capacity, dtype=jnp.int32)
@@ -114,10 +138,13 @@ def probe_materialize(
 # expand+take (its per-pair cost falls with run length; the gather
 # fallback is flat at ~123M pairs/s)
 RUNS_MIN_DUP = 8
-# avg matches/row above which the group-periodic kernel's static envelope
-# (W runs/tile, GW group heads/step) plausibly fits — below this, don't
-# waste a kernel launch discovering fits=False
-GROUPS_MIN_DUP = 24
+# avg matches/row above which the group-based kernels' static envelopes
+# plausibly fit — below this, don't waste a kernel launch discovering
+# fits=False. Derived from the tightest envelope: expand_groups needs
+# < W - 1 run starts per 1024-slot tile, i.e. avg run length above
+# TILE / (W - 2) ~= 35 (expand_fill's GW bound is looser than this for
+# any probe-side duplication >= 1).
+GROUPS_MIN_DUP = 35
 
 
 @functools.partial(jax.jit,
@@ -136,21 +163,7 @@ def probe_materialize_runs(
     ``fits`` False means the workload's runs don't fit the kernel's slabs
     (low duplication / wild source spread) and the caller must use
     :func:`probe_materialize` instead. Outputs are only valid when fits."""
-    cnt = state.counts
-    z = (cnt == 0).astype(jnp.int32)
-    _, lo_s, cnt_s, sid_s = jax.lax.sort(
-        (z, state.lo, cnt, state.probe_ids), num_keys=1)
-    m = cnt.shape[0]
-
-    def fit(a):
-        if k_cap <= m:
-            return jax.lax.slice_in_dim(a, 0, k_cap)
-        return jnp.pad(a, (0, k_cap - m))
-
-    lo_c, cnt_c, sid_c = fit(lo_s), fit(cnt_s), fit(sid_s)
-    offs_c = jnp.cumsum(cnt_c) - cnt_c
-    total = jnp.sum(cnt)
-    nonzero = jnp.sum((cnt > 0).astype(jnp.int32))
+    lo_c, cnt_c, sid_c, offs_c, total, nonzero = _compact(state, k_cap)
 
     kw = {} if src_slab is None else {"src_slab": src_slab}
     r_ids, s_ids, fits = expand_runs(
@@ -189,39 +202,57 @@ def probe_materialize_groups(
     if profile is None and jax.default_backend() == "cpu":
         profile = (4, 16, 8)
 
-    cnt = state.counts
-    z = (cnt == 0).astype(jnp.int32)
-    _, lo_s, cnt_s, sid_s = jax.lax.sort(
-        (z, state.lo, cnt, state.probe_ids), num_keys=1)
-    m = cnt.shape[0]
-
-    def fit(a):
-        if k_cap <= m:
-            return jax.lax.slice_in_dim(a, 0, k_cap)
-        return jnp.pad(a, (0, k_cap - m))
-
-    lo_c, cnt_c, sid_c = fit(lo_s), fit(cnt_s), fit(sid_s)
-    offs_c = jnp.cumsum(cnt_c) - cnt_c
-    total = jnp.sum(cnt)
-    nonzero = jnp.sum((cnt > 0).astype(jnp.int32))
-
-    # group extraction: equal probe keys share one (lo, cnt) build range,
-    # and lo strictly increases across distinct matched keys, so group
-    # heads are exactly the rows where lo changes. Compact heads by one
-    # stable sort on a sentinel key (the same compact-by-sort idiom as the
-    # run compaction above).
-    row = jnp.arange(k_cap, dtype=jnp.int32)
-    prev_lo = jnp.concatenate([lo_c[:1] - 1, lo_c[:-1]])
-    is_head = jnp.logical_and(row < nonzero, lo_c != prev_lo)
-    big = jnp.int32(0x7FFFFFFF)
-    goff_in = jnp.where(is_head, offs_c, big)
-    goff_h, glo_h, gnb_h = jax.lax.sort((goff_in, lo_c, cnt_c), num_keys=1)
-    ngroups = jnp.sum(is_head.astype(jnp.int32))
+    lo_c, cnt_c, sid_c, offs_c, total, nonzero = _compact(state, k_cap)
+    goff_h, glo_h, gnb_h, ngroups = _group_heads(
+        lo_c, cnt_c, offs_c, k_cap, nonzero)
 
     kw = {} if src_slab is None else {"src_slab": src_slab}
     if profile is not None:
         kw.update(zip(("batch", "w", "gw"), profile))
     r_ids, s_ids, fits = expand_groups(
+        offs_c, sid_c, goff_h, glo_h, gnb_h, ht.sorted_ids,
+        nonzero, ngroups, total, capacity, **kw)
+    s_ids = jnp.where(s_ids >= 0, s_ids + probe_base, -1).astype(jnp.int32)
+    return r_ids, s_ids, total, fits
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k_cap", "capacity", "src_slab",
+                                    "profile"))
+def probe_materialize_fill(
+    ht: HashJoinTable,
+    state: SortedProbe,
+    k_cap: int,
+    capacity: int,
+    probe_base: int | jax.Array = 0,
+    src_slab: int | None = None,
+    profile: tuple[int, int] | None = None,
+):
+    """Materialize phase on the fill+periodic kernel
+    (kernels.expand_fill): the probe column comes from one marker scatter
+    plus an in-kernel doubling forward-fill (no per-run work at all), the
+    build column from step-phased periodic group images. The fastest path
+    for high-duplication workloads — measured 3.4x kernels.expand_groups
+    on the reference's 1B-pair config. Returns (r_ids, s_ids, total,
+    fits); ``fits`` False means a grid step covers too many groups (low
+    duplication) or a group period exceeds the image (huge build-side
+    duplication) and the caller must fall back. Outputs are only valid
+    when fits. ``profile`` is an optional (step, gw) static envelope
+    override; on the CPU backend an unset profile defaults to a small
+    envelope to keep the interpret-mode graph compilable."""
+    from tpujoin.kernels.expand_fill import expand_fill
+
+    if profile is None and jax.default_backend() == "cpu":
+        profile = (4096, 6)
+
+    lo_c, cnt_c, sid_c, offs_c, total, nonzero = _compact(state, k_cap)
+    goff_h, glo_h, gnb_h, ngroups = _group_heads(
+        lo_c, cnt_c, offs_c, k_cap, nonzero)
+
+    kw = {} if src_slab is None else {"src_slab": src_slab}
+    if profile is not None:
+        kw.update(zip(("step", "gw"), profile))
+    r_ids, s_ids, fits = expand_fill(
         offs_c, sid_c, goff_h, glo_h, gnb_h, ht.sorted_ids,
         nonzero, ngroups, total, capacity, **kw)
     s_ids = jnp.where(s_ids >= 0, s_ids + probe_base, -1).astype(jnp.int32)
@@ -238,18 +269,8 @@ def probe_rle(ht: HashJoinTable, state: SortedProbe, k_cap: int):
     just to hold ~100k distinct runs, join-performances.md:3-5); downstream
     operators (aggregations, semi-joins) can consume runs directly, and
     :func:`probe_materialize` expands on demand."""
-    cnt = state.counts
-    z = (cnt == 0).astype(jnp.int32)
-    _, lo_s, cnt_s, sid_s = jax.lax.sort(
-        (z, state.lo, cnt, state.probe_ids), num_keys=1)
-    m = cnt.shape[0]
-
-    def fit(a):
-        if k_cap <= m:
-            return jax.lax.slice_in_dim(a, 0, k_cap)
-        return jnp.pad(a, (0, k_cap - m))
-
-    return fit(sid_s), fit(lo_s), fit(cnt_s)
+    lo_c, cnt_c, sid_c, _, _, _ = _compact(state, k_cap)
+    return sid_c, lo_c, cnt_c
 
 
 def merge_join_rle(build_keys, probe_keys, *, row_pad_multiple: int = 1 << 16):
@@ -271,33 +292,63 @@ def merge_join_rle(build_keys, probe_keys, *, row_pad_multiple: int = 1 << 16):
             np.asarray(cnt[:nonzero]), np.asarray(ht.sorted_ids))
 
 
-def semi_join(build_keys, probe_keys, *, row_pad_multiple: int = 1 << 16):
+@jax.jit
+def _match_partition(state: SortedProbe):
+    """Probe ids stably partitioned by matchedness: the first ``nonzero``
+    entries are the matched probe rows, the tail the unmatched ones — the
+    same compact-by-sort idiom as _compact, reduced to the id column. One
+    count phase answers semi, anti and the outer-join NULL set."""
+    z = (state.counts == 0).astype(jnp.int32)
+    _, sid_s = jax.lax.sort((z, state.probe_ids), num_keys=1)
+    return sid_s
+
+
+def semi_join(build_keys, probe_keys, **_ignored):
     """Probe-side semi join: ids of probe rows with >= 1 build match.
     (The reference supports only inner join; semi/anti/outer complete the
     equi-join family on the same count machinery — a semi join is the count
     phase's nonzero set, no materialization at all.)"""
-    pid, _, _, _ = merge_join_rle(build_keys, probe_keys,
-                                  row_pad_multiple=row_pad_multiple)
-    return np.sort(pid)
+    ht = build(jnp.asarray(build_keys))
+    state, _, nonzero = probe_count(ht, jnp.asarray(probe_keys))
+    sid_s = _match_partition(state)
+    return np.sort(np.asarray(sid_s[:int(nonzero)]))
 
 
-def anti_join(build_keys, probe_keys, *, row_pad_multiple: int = 1 << 16):
+def anti_join(build_keys, probe_keys, **_ignored):
     """Probe-side anti join: ids of probe rows with NO build match."""
-    matched = semi_join(build_keys, probe_keys,
-                        row_pad_multiple=row_pad_multiple)
-    m = int(jnp.asarray(probe_keys).shape[0])
-    mask = np.ones(m, bool)
-    mask[matched] = False
-    return np.nonzero(mask)[0].astype(np.int32)
+    ht = build(jnp.asarray(build_keys))
+    state, _, nonzero = probe_count(ht, jnp.asarray(probe_keys))
+    sid_s = _match_partition(state)
+    return np.sort(np.asarray(sid_s[int(nonzero):]))
 
 
 def left_outer_join(build_keys, probe_keys, **kwargs):
     """Probe-side left outer join: all inner pairs plus (-1, probe_id) for
-    unmatched probe rows (NULL build side encoded as -1)."""
-    r_ids, s_ids = merge_join(build_keys, probe_keys, **kwargs)
-    unmatched = anti_join(build_keys, probe_keys)
-    r_out = np.concatenate([r_ids, np.full(len(unmatched), -1, np.int32)])
-    s_out = np.concatenate([s_ids, unmatched])
+    unmatched probe rows (NULL build side encoded as -1). Costs one count
+    plus one materialize — the unmatched set falls out of the same
+    count-state partition the materialize phase compacts by, so nothing
+    is recomputed."""
+    build_keys = jnp.asarray(build_keys)
+    probe_keys = jnp.asarray(probe_keys)
+    ht = build(build_keys)
+    state, total_a, nonzero_a = probe_count(ht, probe_keys)
+    total, nonzero = int(total_a), int(nonzero_a)
+    sid_s = _match_partition(state)
+    unmatched = np.asarray(sid_s[nonzero:])
+
+    if total == 0:
+        r_inner = np.empty(0, np.int32)
+        s_inner = np.empty(0, np.int32)
+    else:
+        pad = kwargs.get("result_pad_multiple", 1 << 20)
+        cap = round_up(total, pad)
+        k_cap = round_up(nonzero, max(pad // 8, 1024))
+        r_ids, s_ids, _ = probe_materialize(ht, state, k_cap, cap)
+        r_inner = np.asarray(r_ids[:total])
+        s_inner = np.asarray(s_ids[:total])
+
+    r_out = np.concatenate([r_inner, np.full(len(unmatched), -1, np.int32)])
+    s_out = np.concatenate([s_inner, unmatched])
     return r_out, s_out
 
 
@@ -334,19 +385,26 @@ def merge_join(
         k_cap = round_up(nonzero, max(result_pad_multiple // 8, 1024))
         r_ids = s_ids = None
         if total >= nonzero * RUNS_MIN_DUP:
+            from tpujoin.kernels.expand_fill import \
+                SRC_SLABS as FILL_SLABS
             from tpujoin.kernels.expand_groups import \
                 SRC_SLABS as GROUP_SLABS
             from tpujoin.kernels.expand_runs import SRC_SLABS
-            # fastest first: group-periodic kernel (static envelope) ->
-            # run-rotation kernel -> expand+take
+            # fastest first: fill+periodic kernel -> group-periodic
+            # kernel (covers big periods) -> run-rotation kernel ->
+            # expand+take
             if total >= nonzero * GROUPS_MIN_DUP:
-                for slab in GROUP_SLABS:
-                    r_ids, s_ids, _, fits = probe_materialize_groups(
-                        ht, state, k_cap, cap, probe_base=start,
-                        src_slab=slab)
-                    if bool(fits):
+                for fn, slabs in ((probe_materialize_fill, FILL_SLABS),
+                                  (probe_materialize_groups, GROUP_SLABS)):
+                    for slab in slabs:
+                        r_ids, s_ids, _, fits = fn(
+                            ht, state, k_cap, cap, probe_base=start,
+                            src_slab=slab)
+                        if bool(fits):
+                            break
+                        r_ids = s_ids = None
+                    if r_ids is not None:
                         break
-                    r_ids = s_ids = None
             if r_ids is None:
                 for slab in SRC_SLABS:
                     r_ids, s_ids, _, fits = probe_materialize_runs(

@@ -134,10 +134,18 @@ def make_skew_join_fn(
         gr = jax.lax.psum(_counts_in(sr, cand), ROW_AXIS)
         gs = jax.lax.psum(_counts_in(ss, cand), ROW_AXIS)
 
-        thr_r = jnp.int32(max(1, int(heavy_factor))) * jax.lax.psum(
+        # heavy_factor is a float multiplier on the per-peer average row
+        # count (1.5 means "1.5x the average"); apply it in f32 so
+        # fractional factors are honored, then floor to an i32 threshold
+        base_r = jax.lax.psum(
             jnp.sum((r_ids >= 0).astype(jnp.int32)), ROW_AXIS) // num_peers
-        thr_s = jnp.int32(max(1, int(heavy_factor))) * jax.lax.psum(
+        base_s = jax.lax.psum(
             jnp.sum((s_ids >= 0).astype(jnp.int32)), ROW_AXIS) // num_peers
+        factor = jnp.float32(max(float(heavy_factor), 0.0))
+        thr_r = jnp.maximum(
+            (factor * base_r.astype(jnp.float32)).astype(jnp.int32), 1)
+        thr_s = jnp.maximum(
+            (factor * base_s.astype(jnp.float32)).astype(jnp.int32), 1)
         heavy = ((gr > thr_r) | (gs > thr_s)) & (cand != _BUILD_PAD_KEY)
         # mode 1: replicate R, spray S (R side lighter); mode 2: converse
         mode = jnp.where(heavy, jnp.where(gr <= gs, 1, 2), 0).astype(jnp.int32)
