@@ -39,9 +39,12 @@ def run_case(counts, lo, sid, src, capacity=None, expect_fit=True):
     lo = np.asarray(lo, np.int32)
     sid = np.asarray(sid, np.int32)
     src = np.asarray(src, np.int32)
+    # fixed 8192 granules => interpret-mode tests share compiled
+    # executables (each fresh static shape costs ~15 s of XLA CPU compile)
+    src = np.pad(src, (0, round_up(max(len(src), 1), 8192) - len(src)))
     offsets = (np.cumsum(counts) - counts).astype(np.int32)
     total = int(counts.sum())
-    capacity = capacity or total
+    capacity = capacity or round_up(total, 8192)
 
     is_head = np.ones(len(lo), bool)
     is_head[1:] = lo[1:] != lo[:-1]
@@ -194,6 +197,28 @@ def test_pipeline_parity_with_expand_take(dup):
     got = sorted(zip(np.asarray(r2[:total]).tolist(),
                      np.asarray(s2[:total]).tolist()))
     assert ref == got
+
+
+def test_all_matched_fast_path():
+    """When every probe row matches, all_matched=True skips the
+    compaction sort and must produce identical output."""
+    rng = np.random.default_rng(9)
+    bk = rng.integers(1, 8, size=1024, dtype=np.int32)
+    pk = rng.integers(1, 8, size=256, dtype=np.int32)  # domain covered
+    ht = build(jnp.asarray(bk))
+    state, total_a, nonzero_a = mj.probe_count(ht, jnp.asarray(pk))
+    assert int(nonzero_a) == 256
+    total = int(total_a)
+    r0, s0, _, f0 = mj.probe_materialize_fill(ht, state, 1 << 10, 1 << 15,
+                                              profile=PROFILE)
+    r1, s1, _, f1 = mj.probe_materialize_fill(ht, state, 1 << 10, 1 << 15,
+                                              profile=PROFILE,
+                                              all_matched=True)
+    assert bool(f0) and bool(f1)
+    np.testing.assert_array_equal(np.asarray(r0[:total]),
+                                  np.asarray(r1[:total]))
+    np.testing.assert_array_equal(np.asarray(s0[:total]),
+                                  np.asarray(s1[:total]))
 
 
 def test_probe_base_offsets_sids():

@@ -36,14 +36,19 @@ def numpy_expand(offsets, lo, counts, sid, src, capacity):
 def run_case(counts, lo, sid, src, capacity=None):
     """counts/lo/sid are per-run; runs with identical lo (and counts) are
     one group. lo must be non-decreasing and counts equal within a group
-    (the probe_count invariant for sorted probe keys)."""
+    (the probe_count invariant for sorted probe keys).
+
+    capacity and src are padded to fixed 8192 granules so the interpret-
+    mode tests SHARE compiled executables (each fresh static shape costs
+    ~15 s of XLA CPU compile; sharing keeps the suite in its budget)."""
     counts = np.asarray(counts, np.int32)
     lo = np.asarray(lo, np.int32)
     sid = np.asarray(sid, np.int32)
     src = np.asarray(src, np.int32)
+    src = np.pad(src, (0, round_up(max(len(src), 1), 8192) - len(src)))
     offsets = (np.cumsum(counts) - counts).astype(np.int32)
     total = int(counts.sum())
-    capacity = capacity or total
+    capacity = capacity or round_up(total, 8192)
 
     # group extraction (head = first run of each distinct lo)
     is_head = np.ones(len(lo), bool)

@@ -32,8 +32,16 @@ class JoinConfig:
 
     @property
     def expected_matches(self) -> float:
-        """E[|R ⋈ S|] for uniform keys: n*m/|key domain|."""
+        """E[|R ⋈ S|]: n*m*sum_k p_k*q_k. Uniform keys: n*m/|domain|.
+        Zipf(s~1): p_k ~ 1/(k*H_N), so sum p_k^2 ~ zeta(2)/H_N^2 — vastly
+        larger than uniform (the head keys collide quadratically)."""
+        import math
+
         domain = self.key_max - self.key_min + 1
+        if self.distribution == "zipf":
+            h = math.log(domain) + 0.5772156649
+            return (self.build_rows * self.probe_rows
+                    * (math.pi ** 2 / 6.0) / (h * h))
         return self.build_rows * self.probe_rows / domain
 
 

@@ -43,11 +43,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpujoin.kernels.expand_groups import _canon, _flat_roll, _flat_window
+from tpujoin.kernels.expand_groups import _canon, _flat_window
 from tpujoin.utils.shapes import round_up
 
 LANES = 128
-STEP = 65536         # output slots per grid step (512 sublane rows)
+STEP = 32768         # output slots per grid step (256 sublane rows);
+                     # measured optimum: smaller steps raise group-image
+                     # rebuild frequency only mildly but 8192 blows the
+                     # 1 MB SMEM scalar-prefetch budget at 1B outputs, and
+                     # 65536 doubles the per-image doubling work
 GW = 24              # statically-unrolled covering groups per step
 NBMAX = 2048         # largest group period the periodic image holds
 SEED_ROWS = 16       # initial image rows (2048 elements >= NBMAX)
@@ -59,10 +63,27 @@ BIG = jnp.int32(0x7FFFFFFF)
 
 def _psize(step: int) -> int:
     # periodic image length == the step (power-of-two rows, required by
-    # _flat_roll). Coverage proof: seed valid >= nb; each executed
-    # doubling (guard k = nb<<d < PSIZE) extends valid v -> v + k with
-    # k <= v, so after the last executed doubling valid >= 2k >= PSIZE.
+    # _flat_roll2). Coverage proof: seed valid >= nb; each executed
+    # doubling (guard k = nb<<d < vneed) extends valid v -> v + k with
+    # k <= v, so after the last executed doubling valid >= 2k >= vneed.
     return step
+
+
+def _flat_roll2(x2d, k, roll):
+    """out.flat[f] = x2d.flat[(f - k) mod size]; k in [0, size); row count
+    must be a power of two. Uses ONE dynamic sublane roll — the expensive
+    Mosaic primitive (measured ~3-4x the cost of a static row shift on
+    this toolchain; swapping the second sublane roll for a static
+    concatenate cut the doubling-dominated kernel 2.3x, exp/fill_variants)
+    — plus one dynamic lane roll and one static row shift."""
+    rows = x2d.shape[0]
+    q = k >> 7
+    r = k & (LANES - 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x2d.shape, 1)
+    y = roll(x2d, r, 1)
+    z1 = roll(y, q, 0)
+    z2 = jnp.concatenate([z1[rows - 1:], z1[:rows - 1]], axis=0)
+    return jnp.where(lane < r, z2, z1)
 
 
 def _kernel(gb_ref, g0_ref, sbrow_ref, lim_ref,
@@ -114,7 +135,7 @@ def _kernel(gb_ref, g0_ref, sbrow_ref, lim_ref,
     x = mark_ref[...]
     k = 1
     while k < step:
-        shifted = _flat_roll(x, k, roll)
+        shifted = _flat_roll2(x, k, roll)
         x = jnp.where(x >= 0, x, jnp.where(flat >= k, shifted, x))
         k *= 2
     c_in = carry[0]
@@ -134,10 +155,11 @@ def _kernel(gb_ref, g0_ref, sbrow_ref, lim_ref,
         go = rd(goff_s, idx)
         nb = rd(gnb_s, idx)
         gl = rd(glo_s, idx)
+        go_next = rd(goff_s, idx + 1)
         covers = jnp.logical_or(dd == 0, go < tstep0 + step)
 
         @pl.when(covers)
-        def _paint(go=go, nb=nb, gl=gl):
+        def _paint(go=go, nb=nb, gl=gl, go_next=go_next):
             # seed: image[v] = src[gl + (psi + v) mod nb] for v < 2048,
             # valid to at least 2*nb - psi >= nb
             psi = _canon(tstep0 - go, nb)
@@ -145,16 +167,19 @@ def _kernel(gb_ref, g0_ref, sbrow_ref, lim_ref,
             w2 = _flat_window(slab, gl + psi - nb - sb, SEED_ROWS, roll)
             perbuf[0:SEED_ROWS] = jnp.where(flatSeed < nb - psi, w1, w2)
             # doubling rolls: shift nb<<d keeps every slot on its residue
-            # class mod nb; update region [k, 2k) is statically contained
-            # in [0, 2*NBMAX << d) so late (cheap, skipped) doublings never
-            # touch the full buffer for small periods
+            # class mod nb. Stop once valid covers this group's actual
+            # span within the step (groups above overwrite, ascending) —
+            # and the update region [k, 2k) is statically contained in
+            # [0, 2*NBMAX << d), so late doublings never touch the full
+            # buffer for small periods.
+            vneed = jnp.minimum(go_next - tstep0, step)
             d2 = 0
             k2 = 1
             while k2 < PSIZE:
                 rows_d = min(PROWS, (2 * NBMAX << d2) // LANES)
                 kk = nb << d2
 
-                @pl.when(kk < PSIZE)
+                @pl.when(kk < vneed)
                 def _double(kk=kk, rows_d=rows_d):
                     buf = perbuf[0:rows_d]
                     fl = (jax.lax.broadcasted_iota(
@@ -162,7 +187,7 @@ def _kernel(gb_ref, g0_ref, sbrow_ref, lim_ref,
                         + jax.lax.broadcasted_iota(
                             jnp.int32, (rows_d, LANES), 1))
                     perbuf[0:rows_d] = jnp.where(
-                        fl < kk, buf, _flat_roll(buf, kk, roll))
+                        fl < kk, buf, _flat_roll2(buf, kk, roll))
 
                 d2 += 1
                 k2 *= 2

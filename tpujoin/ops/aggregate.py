@@ -63,8 +63,12 @@ def group_agg_materialize(keys: jax.Array, values: jax.Array, capacity: int):
     G group boundaries, min/max from the first/last value of each run
     (values sorted within a key run because value is the sort tiebreaker) —
     every gather is G-sized, never row-count-sized. Returns
-    (group_keys, counts, sums f32, mins, maxs, num_groups), padded to
-    capacity (pad keys -1, counts 0).
+    (group_keys, counts, (sum_hi, sum_lo), mins, maxs, num_groups), padded
+    to capacity (pad keys -1, counts 0). Sums are EXACT 64-bit integers
+    split into (hi i32, lo u32) words: the cumsum runs in emulated i64
+    (x64 scope local to this trace) so 100M-row sums of 1e9-scale values
+    never lose integer precision — combine with
+    ``(hi.astype(int64) << 32) | lo``.
     """
     n = keys.shape[0]
     # num_keys=2: value is a sort key too, so each key run has its values
@@ -82,29 +86,37 @@ def group_agg_materialize(keys: jax.Array, values: jax.Array, capacity: int):
     ends = jnp.where(is_last, n, next_start)
     safe_ends = jnp.where(valid, jnp.clip(ends, 1, n), 1)
     counts = jnp.where(valid, safe_ends - safe_starts, 0)
-    # sums via inclusive-cumsum difference (f32 to bound i32 overflow;
-    # exact for |values| < 2^24-scale sums, documented)
-    cs = jnp.cumsum(sv.astype(jnp.float32))
-    sum_hi = jnp.take(cs, safe_ends - 1)
-    sum_lo = jnp.where(safe_starts > 0, jnp.take(cs, safe_starts - 1), 0.0)
-    sums = jnp.where(valid, sum_hi - sum_lo, 0.0)
+    # exact sums via inclusive-cumsum difference in emulated i64
+    with jax.enable_x64(True):
+        cs = jnp.cumsum(sv.astype(jnp.int64))
+        sum_hi64 = jnp.take(cs, (safe_ends - 1).astype(jnp.int64))
+        sum_lo64 = jnp.where(safe_starts > 0,
+                             jnp.take(cs, (safe_starts - 1).astype(jnp.int64)),
+                             jnp.int64(0))
+        sums64 = jnp.where(valid, sum_hi64 - sum_lo64, jnp.int64(0))
+        sums_hi = (sums64 >> 32).astype(jnp.int32)
+        sums_lo = (sums64 & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32)
     mins = jnp.where(valid, jnp.take(sv, safe_starts), 0)
     maxs = jnp.where(valid, jnp.take(sv, safe_ends - 1), 0)
-    return group_keys, counts, sums, mins, maxs, num_groups
+    return group_keys, counts, (sums_hi, sums_lo), mins, maxs, num_groups
 
 
 def group_by_agg(keys, values, *, pad_multiple: int = 1 << 16):
-    """Driver: exact-size per-group (key, count, sum, min, max) as numpy."""
+    """Driver: exact-size per-group (key, count, sum, min, max) as numpy.
+    Sums are exact int64 (no float rounding at any scale)."""
     keys = jnp.asarray(keys)
     values = jnp.asarray(values)
     ngroups = int(group_count(keys))
     if ngroups == 0:
         e = np.empty(0, np.int32)
-        return e, e, np.empty(0, np.float32), e, e
+        return e, e, np.empty(0, np.int64), e, e
     cap = round_up(ngroups, pad_multiple)
-    gk, gc, gs, gmin, gmax, _ = group_agg_materialize(keys, values, cap)
+    gk, gc, (gs_hi, gs_lo), gmin, gmax, _ = group_agg_materialize(
+        keys, values, cap)
     sl = slice(0, ngroups)
-    return (np.asarray(gk[sl]), np.asarray(gc[sl]), np.asarray(gs[sl]),
+    sums = ((np.asarray(gs_hi[sl]).astype(np.int64) << 32)
+            | np.asarray(gs_lo[sl]).astype(np.int64))
+    return (np.asarray(gk[sl]), np.asarray(gc[sl]), sums,
             np.asarray(gmin[sl]), np.asarray(gmax[sl]))
 
 

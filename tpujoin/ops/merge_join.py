@@ -5,10 +5,13 @@ exact-size (rowID_R, rowID_S) multiset — but the probe side is sorted once
 and both hot stages run as Pallas kernels:
 
   count:       sort probe (keys, ids) -> kernels.merge_count (streaming
-               window compare; replaces two searchsorted sorts)
-  materialize: compact rows with matches -> cumsum -> kernels.expand
-               (per-tile VPU expansion; replaces the searchsorted-over-
-               arange + three global gathers)
+               diagonal-blocked window compare; replaces two searchsorted
+               sorts)
+  materialize: compact rows with matches -> cumsum -> the fastest
+               fitting expansion kernel, chosen by plan_materialize:
+               kernels.expand_fill (marker fill + step-phased periodic
+               group images) -> kernels.expand_groups (big periods) ->
+               kernels.expand_runs -> kernels.expand (always fits)
 
 The relationship between v1 (hash_join) and v2 (merge_join) deliberately
 mirrors the reference's join_v1 -> join_v2 lineage: identical semantics,
@@ -55,29 +58,40 @@ class SortedProbe:
 @jax.jit
 def probe_count(ht: HashJoinTable, probe_keys: jax.Array):
     """Count phase. Returns (state, total, nonzero_rows) — total is the
-    exact result size, nonzero_rows the number of probe rows with >= 1
-    match (the materialize phase's compaction width)."""
+    exact result size (int64: skewed workloads exceed 2^31 pairs, e.g.
+    Zipf(1.0) at 10M x 10M is ~10^11 pairs), nonzero_rows the number of
+    probe rows with >= 1 match (the materialize phase's compaction
+    width)."""
     m = probe_keys.shape[0]
     ids = jnp.arange(m, dtype=jnp.int32)
     psk, pid = jax.lax.sort((probe_keys, ids), num_keys=1)
     lo, cnt = merge_count(ht.sorted_keys, psk)
-    total = jnp.sum(cnt)
+    with jax.enable_x64(True):
+        total = jnp.sum(cnt.astype(jnp.int64))
     nonzero = jnp.sum((cnt > 0).astype(jnp.int32))
     return SortedProbe(pid, lo, cnt), total, nonzero
 
 
-def _compact(state: SortedProbe, k_cap: int):
+def _compact(state: SortedProbe, k_cap: int, all_matched: bool = False):
     """Compact count-phase state to rows with >= 1 match, by STABLE SORT
     on the zero flag: nonzero rows keep their (sorted-probe) relative
     order, zero rows sink to the tail. One vectorized sort beats
     per-element scatters on TPU (measured: 3 element scatters at 100M
     cost ~2.6 s; a packed 2-D scatter is even worse at ~8 s; the sort
     network is ~0.6 s). Returns (lo_c, cnt_c, sid_c, offs_c, total,
-    nonzero) at static width k_cap."""
+    nonzero) at static width k_cap.
+
+    ``all_matched`` (static) asserts nonzero == m — the caller checked
+    every probe row has a match (always true on fully-covered key
+    domains, e.g. the reference's 10Mx10M config) — making compaction the
+    identity and skipping its 4-ary sort entirely."""
     cnt = state.counts
-    z = (cnt == 0).astype(jnp.int32)
-    _, lo_s, cnt_s, sid_s = jax.lax.sort(
-        (z, state.lo, cnt, state.probe_ids), num_keys=1)
+    if all_matched:
+        lo_s, cnt_s, sid_s = state.lo, cnt, state.probe_ids
+    else:
+        z = (cnt == 0).astype(jnp.int32)
+        _, lo_s, cnt_s, sid_s = jax.lax.sort(
+            (z, state.lo, cnt, state.probe_ids), num_keys=1)
     m = cnt.shape[0]
 
     def fit(a):
@@ -218,7 +232,7 @@ def probe_materialize_groups(
 
 @functools.partial(jax.jit,
                    static_argnames=("k_cap", "capacity", "src_slab",
-                                    "profile"))
+                                    "profile", "all_matched"))
 def probe_materialize_fill(
     ht: HashJoinTable,
     state: SortedProbe,
@@ -227,6 +241,7 @@ def probe_materialize_fill(
     probe_base: int | jax.Array = 0,
     src_slab: int | None = None,
     profile: tuple[int, int] | None = None,
+    all_matched: bool = False,
 ):
     """Materialize phase on the fill+periodic kernel
     (kernels.expand_fill): the probe column comes from one marker scatter
@@ -245,7 +260,8 @@ def probe_materialize_fill(
     if profile is None and jax.default_backend() == "cpu":
         profile = (4096, 6)
 
-    lo_c, cnt_c, sid_c, offs_c, total, nonzero = _compact(state, k_cap)
+    lo_c, cnt_c, sid_c, offs_c, total, nonzero = _compact(
+        state, k_cap, all_matched=all_matched)
     goff_h, glo_h, gnb_h, ngroups = _group_heads(
         lo_c, cnt_c, offs_c, k_cap, nonzero)
 
@@ -352,6 +368,51 @@ def left_outer_join(build_keys, probe_keys, **kwargs):
     return r_out, s_out
 
 
+def plan_materialize(
+    ht: HashJoinTable,
+    state: SortedProbe,
+    k_cap: int,
+    capacity: int,
+    *,
+    total: int,
+    nonzero: int,
+    probe_base: int = 0,
+):
+    """Resolve the fastest fitting materialize path for this workload and
+    return (name, fn) where fn() -> (r_ids, s_ids, total_dev). Probes each
+    kernel's static envelope (its ``fits`` flag) once, fastest first:
+    fill+periodic -> group-periodic (covers big periods) -> run-rotation
+    -> expand+take (always fits)."""
+    all_matched = nonzero == state.counts.shape[0]
+    if total >= nonzero * GROUPS_MIN_DUP:
+        from tpujoin.kernels.expand_fill import SRC_SLABS as FILL_SLABS
+        from tpujoin.kernels.expand_groups import SRC_SLABS as GROUP_SLABS
+        for name, fn, kw, slabs in (
+                ("fill", probe_materialize_fill,
+                 {"all_matched": all_matched}, FILL_SLABS),
+                ("groups", probe_materialize_groups, {}, GROUP_SLABS)):
+            for slab in slabs:
+                _, _, _, fits = fn(ht, state, k_cap, capacity,
+                                   probe_base=probe_base, src_slab=slab,
+                                   **kw)
+                if bool(fits):
+                    return name, (lambda f=fn, s=slab, k=kw: f(
+                        ht, state, k_cap, capacity, probe_base=probe_base,
+                        src_slab=s, **k)[:3])
+    if total >= nonzero * RUNS_MIN_DUP:
+        from tpujoin.kernels.expand_runs import SRC_SLABS
+        for slab in SRC_SLABS:
+            _, _, _, fits = probe_materialize_runs(
+                ht, state, k_cap, capacity, probe_base=probe_base,
+                src_slab=slab)
+            if bool(fits):
+                return "runs", (lambda s=slab: probe_materialize_runs(
+                    ht, state, k_cap, capacity, probe_base=probe_base,
+                    src_slab=s)[:3])
+    return "expand", (lambda: probe_materialize(
+        ht, state, k_cap, capacity, probe_base=probe_base))
+
+
 def merge_join(
     build_keys,
     probe_keys,
@@ -383,39 +444,9 @@ def merge_join(
             continue
         cap = round_up(total, result_pad_multiple)
         k_cap = round_up(nonzero, max(result_pad_multiple // 8, 1024))
-        r_ids = s_ids = None
-        if total >= nonzero * RUNS_MIN_DUP:
-            from tpujoin.kernels.expand_fill import \
-                SRC_SLABS as FILL_SLABS
-            from tpujoin.kernels.expand_groups import \
-                SRC_SLABS as GROUP_SLABS
-            from tpujoin.kernels.expand_runs import SRC_SLABS
-            # fastest first: fill+periodic kernel -> group-periodic
-            # kernel (covers big periods) -> run-rotation kernel ->
-            # expand+take
-            if total >= nonzero * GROUPS_MIN_DUP:
-                for fn, slabs in ((probe_materialize_fill, FILL_SLABS),
-                                  (probe_materialize_groups, GROUP_SLABS)):
-                    for slab in slabs:
-                        r_ids, s_ids, _, fits = fn(
-                            ht, state, k_cap, cap, probe_base=start,
-                            src_slab=slab)
-                        if bool(fits):
-                            break
-                        r_ids = s_ids = None
-                    if r_ids is not None:
-                        break
-            if r_ids is None:
-                for slab in SRC_SLABS:
-                    r_ids, s_ids, _, fits = probe_materialize_runs(
-                        ht, state, k_cap, cap, probe_base=start,
-                        src_slab=slab)
-                    if bool(fits):
-                        break
-                    r_ids = s_ids = None
-        if r_ids is None:
-            r_ids, s_ids, _ = probe_materialize(ht, state, k_cap, cap,
-                                                probe_base=start)
+        _, mat = plan_materialize(ht, state, k_cap, cap, total=total,
+                                  nonzero=nonzero, probe_base=start)
+        r_ids, s_ids, _ = mat()
         out_r.append(np.asarray(r_ids[:total]))
         out_s.append(np.asarray(s_ids[:total]))
 
