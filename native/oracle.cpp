@@ -154,10 +154,23 @@ int oracle_check_rle(const int32_t* rk, int64_t n, const int32_t* sk,
   if (claimed != true_total) return -1;
 
   std::vector<char> probe_seen(m, 0);
+  // Runs sharing a key share one (lo, cnt) build slice, so the full
+  // multiset comparison is paid once per DISTINCT (key, lo, cnt) and
+  // repeat runs only check slice equality — total work O(sum of distinct
+  // run lengths), not O(total pairs). Without this, skewed workloads
+  // (Zipf at 10M rows ~ 4e11 pairs) make verification intractable even
+  // though the factorized result itself is small.
+  int32_t last_key = 0;
+  int32_t last_lo = -1, last_cnt = -1;
+  bool have_last = false;
   for (int64_t r = 0; r < k; ++r) {
     int32_t p = probe_ids[r];
     if (p < 0 || p >= m || probe_seen[p]) return 0;  // dup/invalid probe row
     probe_seen[p] = 1;
+    if (have_last && sk[p] == last_key) {
+      if (lo[r] != last_lo || cnt[r] != last_cnt) return 0;
+      continue;
+    }
     auto range = std::equal_range(build.begin(), build.end(),
                                   Pair{sk[p], 0},
                                   [](const Pair& a, const Pair& b) {
@@ -175,6 +188,10 @@ int oracle_check_rle(const int32_t* rk, int64_t n, const int32_t* sk,
     std::sort(got.begin(), got.end());
     std::sort(exp.begin(), exp.end());
     if (got != exp) return 0;
+    last_key = sk[p];
+    last_lo = lo[r];
+    last_cnt = cnt[r];
+    have_last = true;
   }
   // probe rows not listed must have zero matches
   for (int64_t j = 0; j < m; ++j) {

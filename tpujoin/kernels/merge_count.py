@@ -23,16 +23,9 @@ Design:
 - the kernel loops over the window in CHUNK-sized pieces (dynamic trip
   count: skewed keys with huge duplicate runs just loop longer), double
   -buffering the build-chunk DMA against the compare work.
-- rank/count accumulate by 2-D DIAGONAL BLOCKING: the probe tile splits
-  into 8 sorted pieces of 128 keys, the build chunk into 8 sorted slabs
-  of 128 keys; a (slab, piece) block pays dense (128, 128) compares only
-  when their key ranges overlap — both sides sorted means only blocks
-  straddling the merge diagonal do (~2 per piece), slabs entirely below
-  a piece contribute a scalar +128 to its ranks, slabs above contribute
-  nothing. This cuts the dense compare work ~4x vs the previous
-  (SUB=512, TILE) full-chunk slabs: lo_p = window_start + sum(B < p),
-  cnt_p = sum(B == p). Padding keys are INT32_MAX on both sides,
-  contributing nothing.
+- rank/count accumulate as dense [TILE, CHUNK] compares on the VPU:
+  lo_p = window_start + sum(B < p), cnt_p = sum(B == p). Padding keys are
+  INT32_MAX on both sides, contributing nothing.
 """
 from __future__ import annotations
 
@@ -47,10 +40,7 @@ from tpujoin.utils.shapes import cdiv, round_up
 
 TILE = 1024        # probe keys per grid step
 CHUNK = 1024       # build keys per DMA
-PIECE = 128        # probe keys per diagonal-block piece (one lane row)
-SLAB = 128         # build keys per diagonal-block slab
-NP = TILE // PIECE
-NS = CHUNK // SLAB
+SUB = 512          # compare-slab rows per step (caps the [SUB, TILE] temps)
 PAD_KEY = jnp.int32(0x7FFFFFFF)
 
 
@@ -59,17 +49,15 @@ def _kernel(w0_ref, nchunks_ref, pk_ref, b_hbm, lo_ref, cnt_ref,
     i = pl.program_id(0)
     w0 = w0_ref[i]
     nchunks = nchunks_ref[i]
-    # probe pieces along LANES (row pp = sorted piece pp): per-block
-    # reductions run along sublanes (cheap) and accumulators keep a dense
-    # (NP, PIECE) lane layout that reshapes straight to the output tile
-    p2d = pk_ref[:].reshape(NP, PIECE)
-    # tile / per-piece key ranges (sorted => first/last are the bounds)
+    # probe keys along LANES: the per-chunk reduction then runs along
+    # sublanes (cheap) and accumulators keep a dense (1, TILE) lane layout
+    p = pk_ref[:].reshape(1, TILE)
+    # tile key range (probe keys are sorted, so first/last are the bounds)
     p_min = pk_ref[0]
     p_max = pk_ref[TILE - 1]
-    pmins = [pk_ref[pp * PIECE] for pp in range(NP)]
-    pmaxs = [pk_ref[pp * PIECE + PIECE - 1] for pp in range(NP)]
 
     def body(c, acc):
+        lo_acc, cnt_acc = acc
         # w0 is CHUNK-aligned by construction (host rounds it down); the
         # hint lets Mosaic prove slice alignment for the DMA
         start = pl.multiple_of(w0 + c * CHUNK, CHUNK)
@@ -79,60 +67,34 @@ def _kernel(w0_ref, nchunks_ref, pk_ref, b_hbm, lo_ref, cnt_ref,
         dma.wait()
         # chunk skip fast-paths (both arrays sorted): a chunk entirely
         # below the tile's key range adds CHUNK to every rank and nothing
-        # to counts; entirely above adds nothing. Only boundary chunks
-        # pay per-block work — and inside them, only the ~2 slabs per
-        # piece that straddle the merge diagonal pay dense compares.
+        # to counts; entirely above adds nothing. Only boundary chunks pay
+        # the dense (SUB, TILE) compares — typically 1-2 per tile.
         c_min = bbuf[0]
         c_max = bbuf[CHUNK - 1]
 
-        def dense(acc):
-            lo_a, cnt_a = acc
-            los, cnts = [], []
-            for pp in range(NP):
-                prow = p2d[pp:pp + 1]                      # (1, PIECE)
-                lo_pp = jnp.zeros((1, PIECE), jnp.int32)
-                cnt_pp = jnp.zeros((1, PIECE), jnp.int32)
-                for ss in range(NS):
-                    blo = bbuf[ss * SLAB]
-                    bhi = bbuf[ss * SLAB + SLAB - 1]
+        def dense(_):
+            lo_d = jnp.zeros((1, TILE), jnp.int32)
+            cnt_d = jnp.zeros((1, TILE), jnp.int32)
+            chunk = bbuf[:]
+            for s in range(CHUNK // SUB):
+                piece = chunk[s * SUB:(s + 1) * SUB].reshape(SUB, 1)
+                lo_d = lo_d + jnp.sum(
+                    (piece < p).astype(jnp.int32), axis=0, keepdims=True)
+                cnt_d = cnt_d + jnp.sum(
+                    (piece == p).astype(jnp.int32), axis=0, keepdims=True)
+            return lo_d, cnt_d
 
-                    def blk(a, ss=ss, prow=prow):
-                        lo_c, ct_c = a
-                        piece = bbuf[ss * SLAB:(ss + 1) * SLAB] \
-                            .reshape(SLAB, 1)
-                        lo_c = lo_c + jnp.sum(
-                            (piece < prow).astype(jnp.int32), axis=0,
-                            keepdims=True)
-                        ct_c = ct_c + jnp.sum(
-                            (piece == prow).astype(jnp.int32), axis=0,
-                            keepdims=True)
-                        return lo_c, ct_c
-
-                    def below_f(a):
-                        lo_c, ct_c = a
-                        return lo_c + jnp.int32(SLAB), ct_c
-
-                    def rest(a, blo=blo, pp=pp):
-                        return jax.lax.cond(blo > pmaxs[pp],
-                                            lambda x: x, blk, a)
-
-                    lo_pp, cnt_pp = jax.lax.cond(
-                        bhi < pmins[pp], below_f, rest, (lo_pp, cnt_pp))
-                los.append(lo_pp)
-                cnts.append(cnt_pp)
-            return (lo_a + jnp.concatenate(los, axis=0),
-                    cnt_a + jnp.concatenate(cnts, axis=0))
-
-        def skip(acc):
-            lo_a, cnt_a = acc
+        def skip(_):
             below = (c_max < p_min).astype(jnp.int32) * jnp.int32(CHUNK)
-            return lo_a + below, cnt_a
+            return (jnp.full((1, TILE), below, jnp.int32),
+                    jnp.zeros((1, TILE), jnp.int32))
 
         is_boundary = jnp.logical_not(
             jnp.logical_or(c_max < p_min, c_min > p_max))
-        return jax.lax.cond(is_boundary, dense, skip, acc)
+        lo_d, cnt_d = jax.lax.cond(is_boundary, dense, skip, None)
+        return lo_acc + lo_d, cnt_acc + cnt_d
 
-    zero = jnp.zeros((NP, PIECE), jnp.int32)
+    zero = jnp.zeros((1, TILE), jnp.int32)
     lo_acc, cnt_acc = jax.lax.fori_loop(0, nchunks, body, (zero, zero))
     lo_ref[:] = (w0 + lo_acc.reshape(TILE)).astype(jnp.int32)
     cnt_ref[:] = cnt_acc.reshape(TILE).astype(jnp.int32)

@@ -26,7 +26,7 @@ import numpy as np
 
 from tpujoin.core.table import Table
 from tpujoin.ops.filter import filter_materialize
-from tpujoin.ops.hash_join import hash_join
+
 from tpujoin.ops.radix import hash32
 from tpujoin.utils.shapes import round_up
 
@@ -42,7 +42,11 @@ def combined_key(table: Table, on: list[str]) -> jax.Array:
         h = hash32((h ^ (hash32(c.astype(jnp.int32))
                          + jnp.uint32(0x9E3779B9)
                          + (h << 6) + (h >> 2))).astype(jnp.int32))
-    return h.astype(jnp.int32)
+    # keep hashed keys out of the engine's sentinel range (0x7FFFFFFE is
+    # the probe-chunk pad, 0x7FFFFFFF the sort pad): folding the top two
+    # values onto 0x7FFFFFFD only adds hash collisions, which the exact
+    # post-filter already removes
+    return jnp.minimum(h.astype(jnp.int32), jnp.int32(0x7FFFFFFD))
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "num_cols"))
@@ -69,33 +73,47 @@ def hash_join_multi(
     on: list[str] | str,
     *,
     result_pad_multiple: int = 1 << 16,
+    return_numpy: bool = True,
 ):
     """Equi-join on one or more key columns; exact multiset of row-id pairs.
 
-    Returns (r_ids, s_ids) numpy arrays, like
-    :func:`tpujoin.ops.hash_join.hash_join` but joining on the conjunction
-    of equality over every column in ``on``.
+    Like :func:`tpujoin.ops.hash_join.hash_join` but joining on the
+    conjunction of equality over every column in ``on``. Fully
+    device-resident: the candidate join runs on the v2 sort-merge engine
+    and the exact post-filter consumes its padded device output directly
+    — the only host transfers are the scalar counts (bulk device->host
+    readback is the one thing this platform's tunnel punishes, and the
+    reference's own result memcpy sits outside its timers,
+    join_v1.mlir:614-615).
+
+    Returns (r_ids, s_ids) numpy arrays, or with ``return_numpy=False``
+    (device_r, device_s, total) where the first ``total`` rows are valid.
     """
+    from tpujoin.ops import merge_join as mj
+
     if isinstance(on, str):
         on = [on]
     hk_r = combined_key(r, on)
     hk_s = combined_key(s, on)
-    cand_r, cand_s = hash_join(
-        np.asarray(hk_r), np.asarray(hk_s),
-        result_pad_multiple=result_pad_multiple, return_numpy=False)
-    if cand_r.shape[0] == 0:
-        return np.empty(0, np.int32), np.empty(0, np.int32)
-    cap = round_up(int(cand_r.shape[0]), result_pad_multiple)
-    pad = cap - int(cand_r.shape[0])
-    if pad:
-        cand_r = jnp.pad(cand_r, (0, pad), constant_values=-1)
-        cand_s = jnp.pad(cand_s, (0, pad), constant_values=-1)
+    ht = mj.build(hk_r)
+    state, total_a, nonzero_a = mj.probe_count(ht, hk_s)
+    total, nonzero = int(total_a), int(nonzero_a)
+    if total == 0:
+        e = np.empty(0, np.int32)
+        return (e, e) if return_numpy else (jnp.asarray(e), jnp.asarray(e), 0)
+    cap = round_up(total, result_pad_multiple)
+    k_cap = round_up(nonzero, max(result_pad_multiple // 8, 1024))
+    _, mat = mj.plan_materialize(ht, state, k_cap, cap, total=total,
+                                 nonzero=nonzero)
+    cand_r, cand_s, _ = mat()   # device, pad slots = -1 (dropped below)
     r_cols = tuple(r[c] for c in on)
     s_cols = tuple(s[c] for c in on)
-    out_r, out_s, total = _exact_filter(r_cols, s_cols, cand_r, cand_s,
-                                        cap, len(on))
-    total = int(total)
-    return np.asarray(out_r[:total]), np.asarray(out_s[:total])
+    out_r, out_s, total2_a = _exact_filter(r_cols, s_cols, cand_r, cand_s,
+                                           cap, len(on))
+    total2 = int(total2_a)
+    if return_numpy:
+        return np.asarray(out_r[:total2]), np.asarray(out_s[:total2])
+    return out_r, out_s, total2
 
 
 def join_with_pushdown(
@@ -108,12 +126,14 @@ def join_with_pushdown(
     r_pred_col: str | None = None,
     s_pred_col: str | None = None,
     result_pad_multiple: int = 1 << 16,
+    return_numpy: bool = True,
 ):
     """Filter-pushdown join: apply per-side predicates *before* the join
     (the selection.mlir filter fused upstream of join_v2 per BASELINE.json
-    config 2), then join only the surviving rows. Returned ids refer to the
-    ORIGINAL tables.
-    """
+    config 2), then join only the surviving rows. Returned ids refer to
+    the ORIGINAL tables. Fully device-resident (filter, join, and the
+    kept-row -> original-row id remap all stay on device; only scalar
+    counts cross the host boundary)."""
     from tpujoin.ops.filter import filter_table
 
     if isinstance(on, str):
@@ -126,16 +146,29 @@ def join_with_pushdown(
                                                            dtype=jnp.int32))
         kept = filter_table(with_ids, pred, col,
                             pad_multiple=result_pad_multiple)
-        return kept, np.asarray(kept["__rowid"]) if kept.num_rows else np.empty(0, np.int32)
+        return kept, (kept["__rowid"] if kept.num_rows else
+                      jnp.empty((0,), jnp.int32))
 
     r_kept, r_map = push(r, r_pred, r_pred_col)
     s_kept, s_map = push(s, s_pred, s_pred_col)
     if r_kept.num_rows == 0 or s_kept.num_rows == 0:
-        return np.empty(0, np.int32), np.empty(0, np.int32)
-    r_ids, s_ids = hash_join_multi(r_kept, s_kept, on,
-                                   result_pad_multiple=result_pad_multiple)
+        e = np.empty(0, np.int32)
+        return (e, e) if return_numpy else (jnp.asarray(e), jnp.asarray(e),
+                                            0)
+    out_r, out_s, total = hash_join_multi(
+        r_kept, s_kept, on, result_pad_multiple=result_pad_multiple,
+        return_numpy=False)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def remap(ids, mapping):
+        valid = ids >= 0
+        safe = jnp.clip(ids, 0, mapping.shape[0] - 1)
+        return jnp.where(valid, jnp.take(mapping, safe), -1)
+
     if r_map is not None:
-        r_ids = r_map[r_ids]
+        out_r = remap(out_r, r_map)
     if s_map is not None:
-        s_ids = s_map[s_ids]
-    return r_ids, s_ids
+        out_s = remap(out_s, s_map)
+    if return_numpy:
+        return np.asarray(out_r[:total]), np.asarray(out_s[:total])
+    return out_r, out_s, total
