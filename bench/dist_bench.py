@@ -23,7 +23,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 
 def main():
@@ -52,6 +51,7 @@ def main():
     from tpujoin import oracle
     from tpujoin.parallel.mesh import make_mesh
     from tpujoin.parallel.shuffle_join import distributed_hash_join
+    from tpujoin.utils.timing import time_fn
 
     ndev_all = len(jax.devices())
     mesh_sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= ndev_all]
@@ -63,13 +63,18 @@ def main():
         sk = rng.integers(1, args.key_max + 1, rows).astype(np.int32)
         mesh = make_mesh(nd)
         expected = rows * rows // args.key_max + 1
-        # warmup (compile)
-        distributed_hash_join(rk, sk, mesh=mesh, expected_matches=expected,
-                              skew=args.skew)
-        t0 = time.perf_counter()
+        # time_fn handles warmup (compile) and device sync; the driver's
+        # numpy trims force readback anyway, so the median wall time is the
+        # honest end-to-end figure on real chips too (CLAUDE.md: never time
+        # through bare perf_counter/block_until_ready on this platform)
+        stat = time_fn(
+            lambda: distributed_hash_join(rk, sk, mesh=mesh,
+                                          expected_matches=expected,
+                                          skew=args.skew),
+            name=f"shuffle_join_mesh{nd}", rows=rows)
         r_ids, s_ids = distributed_hash_join(
             rk, sk, mesh=mesh, expected_matches=expected, skew=args.skew)
-        dt = time.perf_counter() - t0
+        dt = stat.seconds
         rps = rows / dt
         rec = {"mesh": nd, "rows": rows, "seconds": dt, "rows_per_sec": rps,
                "rows_per_sec_per_device": rps / nd}

@@ -46,7 +46,7 @@ def run(n, m, kmax, verify, name):
     if verify:
         st_old = time_fn(lambda: mj.probe_materialize(ht, state, k_cap, cap),
                          name=f"{name}_old", rows=total)
-        r1, s1, t1 = mj.probe_materialize(ht, state, k_cap, cap)
+        r1, s1, t1, _ = mj.probe_materialize(ht, state, k_cap, cap)
         print(f"[{name}] old path: {st_old.seconds:.3f}s = "
               f"{total/st_old.seconds/1e6:.0f}M pairs/s",
               file=sys.stderr, flush=True)

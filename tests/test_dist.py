@@ -8,7 +8,12 @@ import jax
 
 from tpujoin import oracle
 from tpujoin.parallel.mesh import make_mesh
-from tpujoin.parallel.shuffle_join import distributed_hash_join
+from tpujoin.parallel.shuffle_join import (
+    distributed_anti_join,
+    distributed_hash_join,
+    distributed_hash_join_rle,
+    distributed_semi_join,
+)
 
 
 needs_devices = pytest.mark.skipif(
@@ -93,3 +98,54 @@ def test_pipelined_ragged_sizes():
         rk, sk, mesh=mesh, expected_matches=oracle.join_count(rk, sk),
         pipeline_chunks=2)
     assert oracle.check_join(rk, sk, r_ids, s_ids) == 1
+
+@needs_devices
+def test_distributed_rle_matches_oracle():
+    """Factorized (RLE) distributed result: expanding every device's runs
+    must reproduce the exact pair multiset, and the split pair counters
+    must reassemble to the true total."""
+    rk = _rand(4096, 1, 200, 21)
+    sk = _rand(4096, 1, 200, 22)
+    mesh = make_mesh(8)
+    shards, total = distributed_hash_join_rle(rk, sk, mesh=mesh)
+    assert total == oracle.join_count(rk, sk)
+    out_r, out_s = [], []
+    for sh in shards:
+        keep = sh["cnt"] > 0
+        sid, lo, cnt = (sh["probe_ids"][keep], sh["lo"][keep],
+                        sh["cnt"][keep])
+        src = sh["build_ids"]
+        j = np.arange(cnt.sum()) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        out_r.append(src[np.repeat(lo, cnt) + j])
+        out_s.append(np.repeat(sid, cnt))
+    r_ids = np.concatenate(out_r) if out_r else np.empty(0, np.int32)
+    s_ids = np.concatenate(out_s) if out_s else np.empty(0, np.int32)
+    assert len(r_ids) == total
+    assert oracle.check_join(rk, sk, r_ids.astype(np.int32),
+                             s_ids.astype(np.int32)) == 1
+
+
+@needs_devices
+def test_distributed_rle_high_duplication():
+    """High-duplication shard: pairs >> rows; the RLE form carries it with
+    no result capacity at all."""
+    rng = np.random.default_rng(23)
+    rk = rng.integers(1, 9, 4096).astype(np.int32)
+    sk = rng.integers(1, 9, 4096).astype(np.int32)
+    mesh = make_mesh(8)
+    shards, total = distributed_hash_join_rle(rk, sk, mesh=mesh)
+    assert total == oracle.join_count(rk, sk)  # ~2M pairs from 4k rows
+
+
+@needs_devices
+def test_distributed_semi_anti_match_single_chip():
+    from tpujoin.ops.merge_join import anti_join, semi_join
+
+    rk = _rand(2048, 1, 400, 31)
+    sk = _rand(3001, 1, 600, 32)   # some probe keys unmatched
+    mesh = make_mesh(8)
+    semi_d = distributed_semi_join(rk, sk, mesh=mesh)
+    anti_d = distributed_anti_join(rk, sk, mesh=mesh)
+    np.testing.assert_array_equal(semi_d, semi_join(rk, sk))
+    np.testing.assert_array_equal(anti_d, anti_join(rk, sk))
+    assert len(semi_d) + len(anti_d) == len(sk)

@@ -121,7 +121,7 @@ def test_pipeline_parity_with_expand_take(dup):
     cap = round_up(total, 1 << 10)
     k_cap = round_up(nonzero, 1 << 10)
 
-    r1, s1, t1 = mj.probe_materialize(ht, state, k_cap, cap)
+    r1, s1, t1, _ = mj.probe_materialize(ht, state, k_cap, cap)
     r2, s2, t2, fits = mj.probe_materialize_runs(ht, state, k_cap, cap)
     assert bool(fits)
     assert int(t1) == int(t2) == total

@@ -61,7 +61,8 @@ def test_all_equal_keys():
 def test_device_fixed_capacity_api():
     rk = jnp.asarray(_rand(256, 1, 50, 8))
     sk = jnp.asarray(_rand(256, 1, 50, 9))
-    r_ids, s_ids, total = hj.hash_join_device(rk, sk, capacity=4096)
+    r_ids, s_ids, total, fits = hj.hash_join_device(rk, sk, capacity=4096)
+    assert bool(fits)
     total = int(total)
     assert total == oracle.join_count(np.asarray(rk), np.asarray(sk))
     # pad slots are -1, valid slots within range

@@ -85,20 +85,22 @@ def cmd_join(args, variant: str):
         print(f"result rows: {total}", flush=True)
         cap = round_up(total, 1 << 20)
         k_cap = round_up(nonzero, 1 << 17)
-        r_ids, s_ids, _ = _timed(
+        r_ids, s_ids, _, fits = _timed(
             "probe",
             lambda: jax.block_until_ready(
                 mj.probe_materialize(ht, state, k_cap, cap)))
+        assert bool(fits), "materialize capacity undersized"
     else:
         lo, counts = _timed(
             "count", lambda: jax.block_until_ready(hj.probe_count(ht, pk)))
         total = int(jnp.sum(counts))
         print(f"result rows: {total}", flush=True)  # cf. join_v1.mlir:596-597
         cap = round_up(total, 1 << 20)
-        r_ids, s_ids, _ = _timed(
+        r_ids, s_ids, _, fits = _timed(
             "probe",
             lambda: jax.block_until_ready(
                 hj.probe_materialize(ht, lo, counts, cap)))
+        assert bool(fits), "materialize capacity undersized"
     if args.verify:
         ok = oracle.check_join(np.asarray(bk), np.asarray(pk),
                                np.asarray(r_ids[:total]),

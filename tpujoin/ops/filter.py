@@ -6,10 +6,13 @@ column and densely compact the passing rows.
 
 The reference's 3-step SIMT pattern — per-thread count over strided elements
 (:71-80), single-threaded in-block prefix sum (:88-122), atomic global block
-offset (:115), then a scatter pass (:139-153) — collapses on TPU into:
-mask -> one cumsum over the whole column -> one dense scatter. No atomics,
-no block decomposition: the prefix sum that the reference builds from two
-levels of cooperation is a single vectorized ``jnp.cumsum``.
+offset (:115), then a scatter pass (:139-153) — collapses on TPU into ONE
+single-operand i32 sort: pack the fail bit above the row id
+(fail << 30 | id) and sort; passing rows float to the front in id order
+(compaction IS a stable partition) and the id is recovered with one mask.
+No atomics, no block decomposition, and no XLA scatter — the repo's
+measured constants (CLAUDE.md) put element scatters at ~2.6 s/100M vs
+~0.6 s for a keyval sort, and a single-i32-operand sort is cheaper still.
 """
 from __future__ import annotations
 
@@ -30,22 +33,36 @@ def filter_count(mask: jax.Array) -> jax.Array:
     return jnp.sum(mask.astype(jnp.int32))
 
 
+_FAIL_BIT = 1 << 30   # above any row id; keeps packed values positive i32
+
+
 @functools.partial(jax.jit, static_argnames=("capacity",))
 def filter_materialize(mask: jax.Array, capacity: int):
     """Compact the row ids of passing rows into [capacity] (pad = -1).
 
-    pos = exclusive cumsum of mask gives each passing row its dense output
-    slot; failing rows are routed to an out-of-range slot and dropped by the
-    scatter — race-free by construction, every slot written at most once.
+    Compaction by ONE single-operand i32 sort of (fail_bit << 30 | id):
+    passing rows sort to the front, already in ascending-id order because
+    the id occupies the low key bits (a stable partition for free). The
+    previous scatter formulation (pos = cumsum(mask); out.at[slot].set)
+    was measured at 107M rows/s — scatter pays ~per-index cost on TPU,
+    while this sort runs at the single-stream sort rate.
+
+    Rows beyond ``capacity`` are dropped (the drivers size capacity from
+    filter_count / the returned total, so nothing is silently lost).
     """
     n = mask.shape[0]
-    mask_i = mask.astype(jnp.int32)
-    pos = jnp.cumsum(mask_i) - mask_i
-    total = jnp.sum(mask_i)
+    assert n < _FAIL_BIT, "row ids must fit below the fail bit"
     ids = jnp.arange(n, dtype=jnp.int32)
-    slot = jnp.where(mask, pos, capacity)  # capacity = out-of-range -> dropped
-    out = jnp.full((capacity,), -1, dtype=jnp.int32)
-    out = out.at[slot].set(ids, mode="drop")
+    packed = jnp.where(mask, ids, ids + jnp.int32(_FAIL_BIT))
+    s = jax.lax.sort(packed)
+    total = jnp.sum(mask.astype(jnp.int32))
+    if capacity <= n:
+        s = jax.lax.slice_in_dim(s, 0, capacity)
+    else:
+        s = jnp.pad(s, (0, capacity - n),
+                    constant_values=np.int32(_FAIL_BIT))
+    t = jnp.arange(capacity, dtype=jnp.int32)
+    out = jnp.where(t < total, s & jnp.int32(_FAIL_BIT - 1), -1)
     return out, total
 
 

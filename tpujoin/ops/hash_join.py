@@ -130,7 +130,9 @@ def probe_materialize(
     whose exclusive-cumsum offset is <= t; its j-th match is build position
     lo[row] + (t - offsets[row]). Slots >= total are padded with -1.
 
-    Returns (r_ids, s_ids, total) where r_ids/s_ids are [capacity] i32.
+    Returns (r_ids, s_ids, total, fits) where r_ids/s_ids are [capacity]
+    i32; ``fits`` is False iff capacity < total (the output would then be a
+    silently-truncated multiset — every driver checks it).
     """
     offsets = jnp.cumsum(counts) - counts          # exclusive prefix sum
     total = offsets[-1] + counts[-1] if counts.shape[0] else jnp.int32(0)
@@ -145,7 +147,8 @@ def probe_materialize(
     valid = t < total
     r_ids = jnp.where(valid, jnp.take(ht.sorted_ids, bpos), -1)
     s_ids = jnp.where(valid, row + probe_base, -1)
-    return r_ids.astype(jnp.int32), s_ids.astype(jnp.int32), total
+    return (r_ids.astype(jnp.int32), s_ids.astype(jnp.int32), total,
+            total <= capacity)
 
 
 def hash_join(
@@ -189,7 +192,9 @@ def hash_join(
         if total == 0:
             continue
         cap = round_up(total, result_pad_multiple)
-        r_ids, s_ids, _ = probe_materialize(ht, lo, counts, cap, probe_base=start)
+        r_ids, s_ids, _, fits = probe_materialize(ht, lo, counts, cap,
+                                                  probe_base=start)
+        assert bool(fits), "materialize capacity undersized"
         out_r.append(np.asarray(r_ids[:total]))
         out_s.append(np.asarray(s_ids[:total]))
 
@@ -209,7 +214,9 @@ def hash_join_device(build_keys, probe_keys, capacity: int):
     """Single-jit fixed-capacity join: build + count + materialize fused.
 
     For fully-on-device pipelines and benchmarking: the caller supplies the
-    result capacity (pad slots are -1); ``total`` reports the true size.
+    result capacity (pad slots are -1); ``total`` reports the true size and
+    ``fits`` whether the capacity held it. Returns (r_ids, s_ids, total,
+    fits).
     """
     ht = build(build_keys)
     lo, counts = probe_count(ht, probe_keys)

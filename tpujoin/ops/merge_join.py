@@ -74,24 +74,30 @@ def probe_count(ht: HashJoinTable, probe_keys: jax.Array):
 
 def _compact(state: SortedProbe, k_cap: int, all_matched: bool = False):
     """Compact count-phase state to rows with >= 1 match, by STABLE SORT
-    on the zero flag: nonzero rows keep their (sorted-probe) relative
-    order, zero rows sink to the tail. One vectorized sort beats
-    per-element scatters on TPU (measured: 3 element scatters at 100M
-    cost ~2.6 s; a packed 2-D scatter is even worse at ~8 s; the sort
-    network is ~0.6 s). Returns (lo_c, cnt_c, sid_c, offs_c, total,
-    nonzero) at static width k_cap.
+    with the zero flag folded into the key: matched rows already carry
+    non-decreasing lo (sorted-probe order), so a stable sort on
+    where(cnt>0, lo, INT32_MAX) is the same stable partition as a
+    separate-flag sort with one fewer operand (measured on TPU at 100M,
+    exp/sort_variants.py: 3-ary masked-lo 0.79 s vs 4-ary flag 0.94 s;
+    the 2-ary-sort + O(k_cap)-gather redesigns lose outright at 1.4-1.5 s
+    — XLA element gathers at ~73M idx/s erase the sort savings). One
+    vectorized sort beats per-element scatters either way (3 scatters at
+    100M ~2.6 s). The tail (unmatched rows) is clamped back to lo = 0 so
+    no consumer ever sees the sentinel as a DMA/slab offset. Returns
+    (lo_c, cnt_c, sid_c, offs_c, total, nonzero) at static width k_cap.
 
     ``all_matched`` (static) asserts nonzero == m — the caller checked
     every probe row has a match (always true on fully-covered key
     domains, e.g. the reference's 10Mx10M config) — making compaction the
-    identity and skipping its 4-ary sort entirely."""
+    identity and skipping its sort entirely."""
     cnt = state.counts
     if all_matched:
         lo_s, cnt_s, sid_s = state.lo, cnt, state.probe_ids
     else:
-        z = (cnt == 0).astype(jnp.int32)
-        _, lo_s, cnt_s, sid_s = jax.lax.sort(
-            (z, state.lo, cnt, state.probe_ids), num_keys=1)
+        mlo = jnp.where(cnt > 0, state.lo, jnp.int32(0x7FFFFFFF))
+        mlo_s, cnt_s, sid_s = jax.lax.sort(
+            (mlo, cnt, state.probe_ids), num_keys=1)
+        lo_s = jnp.where(cnt_s > 0, mlo_s, 0)
     m = cnt.shape[0]
 
     def fit(a):
@@ -131,13 +137,13 @@ def probe_materialize(
     probe_base: int | jax.Array = 0,
 ):
     """Materialize phase at static capacities (k_cap >= nonzero_rows,
-    capacity >= total). Returns (r_ids, s_ids, total), pad slots = -1.
+    capacity >= total). Returns (r_ids, s_ids, total, fits), pad slots = -1.
 
-    WARNING: capacity < total cannot be detected inside jit — the output is
-    then a silent prefix truncation of the pair multiset. Compare the
-    returned ``total`` against your capacity (the drivers in this module
-    always size capacity from the count phase's total)."""
-    lo_c, cnt_c, sid_c, offs_c, total, _ = _compact(state, k_cap)
+    ``fits`` is False iff capacity < total or k_cap < nonzero — the output
+    would then be a silent truncation of the pair multiset. Every driver
+    checks it (the same contract as the expansion kernels' ``fits``
+    flag)."""
+    lo_c, cnt_c, sid_c, offs_c, total, nonzero = _compact(state, k_cap)
 
     bpos, sid_out = expand(offs_c, lo_c, sid_c, capacity)
     t = jnp.arange(capacity, dtype=jnp.int32)
@@ -145,7 +151,8 @@ def probe_materialize(
     bpos = jnp.clip(bpos, 0, ht.num_rows - 1)
     r_ids = jnp.where(valid, jnp.take(ht.sorted_ids, bpos), -1)
     s_ids = jnp.where(valid, sid_out + probe_base, -1)
-    return r_ids.astype(jnp.int32), s_ids.astype(jnp.int32), total
+    fits = jnp.logical_and(total <= capacity, nonzero <= k_cap)
+    return r_ids.astype(jnp.int32), s_ids.astype(jnp.int32), total, fits
 
 
 # avg matches/row above which the run-expansion kernel wins over
@@ -310,10 +317,17 @@ def merge_join_rle(build_keys, probe_keys, *, row_pad_multiple: int = 1 << 16):
 
 @jax.jit
 def _match_partition(state: SortedProbe):
-    """Probe ids stably partitioned by matchedness: the first ``nonzero``
-    entries are the matched probe rows, the tail the unmatched ones — the
-    same compact-by-sort idiom as _compact, reduced to the id column. One
+    """Probe ids partitioned by matchedness: the first ``nonzero`` entries
+    are the matched probe rows (ascending id), the tail the unmatched ones
+    — the compact-by-sort idiom reduced to ONE single-operand i32 sort by
+    packing the unmatched flag above the id (the ops.filter idiom). One
     count phase answers semi, anti and the outer-join NULL set."""
+    m = state.probe_ids.shape[0]
+    if m < (1 << 30):
+        packed = jnp.where(state.counts == 0,
+                           state.probe_ids + jnp.int32(1 << 30),
+                           state.probe_ids)
+        return jax.lax.sort(packed) & jnp.int32((1 << 30) - 1)
     z = (state.counts == 0).astype(jnp.int32)
     _, sid_s = jax.lax.sort((z, state.probe_ids), num_keys=1)
     return sid_s
@@ -359,7 +373,8 @@ def left_outer_join(build_keys, probe_keys, **kwargs):
         pad = kwargs.get("result_pad_multiple", 1 << 20)
         cap = round_up(total, pad)
         k_cap = round_up(nonzero, max(pad // 8, 1024))
-        r_ids, s_ids, _ = probe_materialize(ht, state, k_cap, cap)
+        r_ids, s_ids, _, fits = probe_materialize(ht, state, k_cap, cap)
+        assert bool(fits), "materialize capacity undersized"
         r_inner = np.asarray(r_ids[:total])
         s_inner = np.asarray(s_ids[:total])
 
@@ -410,7 +425,7 @@ def plan_materialize(
                     ht, state, k_cap, capacity, probe_base=probe_base,
                     src_slab=s)[:3])
     return "expand", (lambda: probe_materialize(
-        ht, state, k_cap, capacity, probe_base=probe_base))
+        ht, state, k_cap, capacity, probe_base=probe_base)[:3])
 
 
 def merge_join(

@@ -60,11 +60,26 @@ def join_tables(
         return s.gather(jnp.asarray(ids))
 
     if len(keys) > 1:
-        if how != "inner":
-            raise NotImplementedError("multi-key outer join")
         r_ids, s_ids = hash_join_multi(r, s, keys,
                                        result_pad_multiple=result_pad_multiple)
-        return materialize_join_rows(r, s, r_ids, s_ids, key_column=key0)
+        if how == "inner":
+            return materialize_join_rows(r, s, r_ids, s_ids, key_column=key0)
+        if how == "left":
+            # probe-side outer: inner pairs plus every unmatched s row,
+            # same convention as the single-key path below (r_* columns
+            # from row 0 with r_matched = False)
+            mask = np.ones(s.num_rows, bool)
+            mask[np.unique(s_ids)] = False
+            unmatched = np.nonzero(mask)[0].astype(np.int32)
+            r_full = np.concatenate(
+                [r_ids, np.zeros(len(unmatched), np.int32)])
+            s_full = np.concatenate([s_ids, unmatched])
+            matched = np.concatenate(
+                [np.ones(len(r_ids), bool), np.zeros(len(unmatched), bool)])
+            out = materialize_join_rows(r, s, r_full, s_full,
+                                        key_column=key0)
+            return out.with_column("r_matched", jnp.asarray(matched))
+        raise ValueError(f"unknown how={how!r}")
 
     rk = np.asarray(r[key0])
     sk = np.asarray(s[key0])

@@ -87,18 +87,29 @@ def _route_and_pack(keys, ids, rep_mask, spray_mask, num_peers: int,
     ends = jnp.searchsorted(spid, bounds, side="right", method=_SS).astype(jnp.int32)
     counts = ends - starts
 
-    c = jax.lax.broadcasted_iota(jnp.int32, (num_peers, cap_norm), 1)
-    src = starts[:num_peers, None] + c
-    valid = c < counts[:num_peers, None]
-    src = jnp.clip(src, 0, max(n - 1, 0))
-    buf_k = jnp.where(valid, jnp.take(skeys, src), pad_key)
-    buf_i = jnp.where(valid, jnp.take(sids, src), -1)
+    # contiguous per-peer slices, never a [P, C] element gather (see
+    # shuffle_join._send_buffer): pad the tail so no slice clamps
+    pad_n = max(cap_norm, cap_rep)
+    skeys_p = jnp.concatenate(
+        [skeys, jnp.full((pad_n,), pad_key, jnp.int32)])
+    sids_p = jnp.concatenate([sids, jnp.full((pad_n,), -1, jnp.int32)])
+    c = jnp.arange(cap_norm, dtype=jnp.int32)
+    rows_k, rows_i = [], []
+    for p in range(num_peers):
+        k_p = jax.lax.dynamic_slice_in_dim(skeys_p, starts[p], cap_norm)
+        i_p = jax.lax.dynamic_slice_in_dim(sids_p, starts[p], cap_norm)
+        valid = c < counts[p]
+        rows_k.append(jnp.where(valid, k_p, pad_key))
+        rows_i.append(jnp.where(valid, i_p, -1))
+    buf_k = jnp.stack(rows_k)
+    buf_i = jnp.stack(rows_i)
 
     rc = jnp.arange(cap_rep, dtype=jnp.int32)
-    rsrc = jnp.clip(starts[num_peers] + rc, 0, max(n - 1, 0))
     rvalid = rc < counts[num_peers]
-    rep_k = jnp.where(rvalid, jnp.take(skeys, rsrc), pad_key)
-    rep_i = jnp.where(rvalid, jnp.take(sids, rsrc), -1)
+    rep_k = jnp.where(rvalid, jax.lax.dynamic_slice_in_dim(
+        skeys_p, starts[num_peers], cap_rep), pad_key)
+    rep_i = jnp.where(rvalid, jax.lax.dynamic_slice_in_dim(
+        sids_p, starts[num_peers], cap_rep), -1)
 
     max_norm = jnp.max(counts[:num_peers])
     return buf_k, buf_i, rep_k, rep_i, max_norm, counts[num_peers]
@@ -197,6 +208,8 @@ def make_skew_join_fn(
         mesh=mesh,
         in_specs=(P(ROW_AXIS), P(ROW_AXIS), P(ROW_AXIS), P(ROW_AXIS)),
         out_specs=(P(ROW_AXIS), P(ROW_AXIS), P(ROW_AXIS), P()),
+        # Pallas kernels inside the shard have no vma annotations
+        check_vma=False,
     )
     return jax.jit(fn)
 
