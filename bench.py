@@ -462,13 +462,29 @@ def bench_join(cfg: JoinConfig, verify: bool, engine: str = "v2") -> dict:
         total, nonzero = int(total_a), int(nonzero_a)
         cap = round_up(total, cfg.result_pad_multiple)
         k_cap = round_up(nonzero, max(cfg.result_pad_multiple // 8, 1024))
+        # Pallas stream-compaction instead of the 3-ary sort when the
+        # selectivity fits its envelope (device fits flag guards it;
+        # sort fallback otherwise — same policy as plan_materialize)
+        cstep = None
+        if 0 < nonzero < cfg.probe_rows:
+            from tpujoin.kernels.compact import pick_out_step
+            cstep = pick_out_step(cfg.probe_rows, nonzero)
+            if cstep is not None:
+                _, _, _, fits = mj_mod.probe_materialize(
+                    ht, state, k_cap, cap, compact_step=cstep)
+                if not bool(fits):
+                    cstep = None
+        eprint(f"materialize compaction: "
+               f"{'kernel/' + str(cstep) if cstep else 'sort'}")
         mat_stat = time_fn(
-            lambda: mj_mod.probe_materialize(ht, state, k_cap, cap),
+            lambda: mj_mod.probe_materialize(ht, state, k_cap, cap,
+                                             compact_step=cstep),
             name="materialize", rows=total,
             bytes_touched=cfg.probe_rows * 12 + cap * 8 * 2)
 
         def materialize():
-            return mj_mod.probe_materialize(ht, state, k_cap, cap)
+            return mj_mod.probe_materialize(ht, state, k_cap, cap,
+                                            compact_step=cstep)
 
     probe_seconds = count_stat.seconds + mat_stat.seconds
     total_seconds = build_stat.seconds + probe_seconds
@@ -648,8 +664,10 @@ def main():
                     help="skip the oracle parity check")
     ap.add_argument("--scale", type=float, default=1.0,
                     help="row-count scale factor")
-    ap.add_argument("--engine", default="v2", choices=["v1", "v2"],
-                    help="v1 = searchsorted probe; v2 = Pallas sort-merge")
+    ap.add_argument("--engine", default=None, choices=["v1", "v2"],
+                    help="v1 = searchsorted probe; v2 = Pallas sort-merge "
+                         "(default: v2, or BOTH engines in the TPU "
+                         "full-matrix default run)")
     ap.add_argument("--op", default="join",
                     choices=["join", "aggregate", "filter", "sort",
                              "multi_join"],

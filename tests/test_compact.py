@@ -1,0 +1,109 @@
+"""Pallas stream-compaction kernel vs numpy boolean-mask compaction.
+
+The kernel replaces the materialize phase's 3-ary compaction sort
+(kernels/compact.py); the ground truth is plain a[flag] on the host. All
+cases share the (out_step=1024, slab=4096) CPU profile so the module
+compiles two interpret-mode executables, not one per case.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpujoin.kernels.compact import compact3, pick_out_step
+
+OUT, SLAB = 1024, 4096
+N = 8192  # one shared input width -> one compiled executable
+
+
+def _run(cnt, lo, sid, k_cap):
+    return compact3(jnp.asarray(lo), jnp.asarray(cnt), jnp.asarray(sid),
+                    k_cap, out_step=OUT, slab=SLAB, interpret=True)
+
+
+@pytest.mark.parametrize("sel,seed", [
+    (0.95, 0), (0.55, 1), (0.30, 2), (1.0, 3),
+])
+def test_matches_mask_compaction(sel, seed):
+    rng = np.random.default_rng(seed)
+    flag = rng.random(N) < sel
+    cnt = np.where(flag, rng.integers(1, 6, N), 0).astype(np.int32)
+    lo = np.sort(rng.integers(0, 1 << 20, N)).astype(np.int32)
+    sid = rng.permutation(N).astype(np.int32)
+    nonzero = int(flag.sum())
+    k_cap = 4096
+
+    lo_c, cnt_c, sid_c, fits = _run(cnt, lo, sid, k_cap)
+    assert bool(fits)
+    lo_c, cnt_c, sid_c = map(np.asarray, (lo_c, cnt_c, sid_c))
+    k = min(nonzero, k_cap)
+    np.testing.assert_array_equal(lo_c[:k], lo[flag][:k])
+    np.testing.assert_array_equal(cnt_c[:k], cnt[flag][:k])
+    np.testing.assert_array_equal(sid_c[:k], sid[flag][:k])
+    # tail is zero-padded: no sentinel can reach a DMA/slab offset
+    assert np.all(lo_c[nonzero:] == 0)
+    assert np.all(cnt_c[nonzero:] == 0)
+
+
+def test_sparse_does_not_fit():
+    """Coverage envelope: at ~2% selectivity one 1024-output step needs
+    ~50k input rows > the 4096-row slab -> fits must be False."""
+    rng = np.random.default_rng(7)
+    flag = rng.random(N) < 0.02
+    flag[:64] = True  # make sure >1 step's worth exists... (no: 1 step)
+    cnt = np.where(flag, 1, 0).astype(np.int32)
+    lo = np.arange(N, dtype=np.int32)
+    sid = np.arange(N, dtype=np.int32)
+    nonzero = int(flag.sum())
+    if nonzero <= OUT:
+        # force two steps' worth of matches spread sparsely
+        flag = np.zeros(N, bool)
+        flag[:: N // (OUT + 512)] = True
+        cnt = np.where(flag, 1, 0).astype(np.int32)
+    *_, fits = _run(cnt, lo, sid, 2048)
+    assert not bool(fits)
+
+
+def test_empty_and_full():
+    lo = np.arange(N, dtype=np.int32)
+    sid = np.arange(N, dtype=np.int32)
+    zero = np.zeros(N, np.int32)
+    lo_c, cnt_c, sid_c, fits = _run(zero, lo, sid, 1024)
+    assert bool(fits)
+    assert np.all(np.asarray(cnt_c) == 0)
+
+    ones = np.ones(N, np.int32)
+    lo_c, cnt_c, sid_c, fits = _run(ones, lo, sid, 4096)
+    assert bool(fits)
+    np.testing.assert_array_equal(np.asarray(sid_c), sid[:4096])
+
+
+def test_pick_out_step():
+    assert pick_out_step(100_000_000, 9_500_000) in (2048, 4096)
+    assert pick_out_step(100_000_000, 60_000_000) == 8192
+    assert pick_out_step(100_000_000, 100_000) is None  # 0.1%: sort path
+    assert pick_out_step(100, 0) is None
+
+
+def test_probe_materialize_integration():
+    """probe_materialize(compact_step=...) must agree with the sort-based
+    path end-to-end (same pairs, same order)."""
+    from tpujoin.ops import merge_join as mj
+    from tpujoin.ops.hash_join import build
+
+    rng = np.random.default_rng(11)
+    bk = rng.integers(1, 600, 4096).astype(np.int32)
+    pk = rng.integers(1, 2000, 4096).astype(np.int32)  # ~30% matched
+    ht = build(jnp.asarray(bk))
+    state, total_a, nonzero_a = mj.probe_count(ht, jnp.asarray(pk))
+    total, nonzero = int(total_a), int(nonzero_a)
+    assert 0 < nonzero < 4096
+    cap = ((total + 1023) // 1024) * 1024
+    k_cap = 4096
+    r0, s0, t0, f0 = mj.probe_materialize(ht, state, k_cap, cap)
+    r1, s1, t1, f1 = mj.probe_materialize(ht, state, k_cap, cap,
+                                          compact_step=OUT)
+    assert bool(f0) and bool(f1)
+    np.testing.assert_array_equal(np.asarray(r0[:total]),
+                                  np.asarray(r1[:total]))
+    np.testing.assert_array_equal(np.asarray(s0[:total]),
+                                  np.asarray(s1[:total]))

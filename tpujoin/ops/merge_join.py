@@ -72,11 +72,12 @@ def probe_count(ht: HashJoinTable, probe_keys: jax.Array):
     return SortedProbe(pid, lo, cnt), total, nonzero
 
 
-def _compact(state: SortedProbe, k_cap: int, all_matched: bool = False):
-    """Compact count-phase state to rows with >= 1 match, by STABLE SORT
-    with the zero flag folded into the key: matched rows already carry
-    non-decreasing lo (sorted-probe order), so a stable sort on
-    where(cnt>0, lo, INT32_MAX) is the same stable partition as a
+def _compact(state: SortedProbe, k_cap: int, all_matched: bool = False,
+             compact_step: int | None = None):
+    """Compact count-phase state to rows with >= 1 match. Default path:
+    STABLE SORT with the zero flag folded into the key: matched rows
+    already carry non-decreasing lo (sorted-probe order), so a stable
+    sort on where(cnt>0, lo, INT32_MAX) is the same stable partition as a
     separate-flag sort with one fewer operand (measured on TPU at 100M,
     exp/sort_variants.py: 3-ary masked-lo 0.79 s vs 4-ary flag 0.94 s;
     the 2-ary-sort + O(k_cap)-gather redesigns lose outright at 1.4-1.5 s
@@ -84,13 +85,35 @@ def _compact(state: SortedProbe, k_cap: int, all_matched: bool = False):
     vectorized sort beats per-element scatters either way (3 scatters at
     100M ~2.6 s). The tail (unmatched rows) is clamped back to lo = 0 so
     no consumer ever sees the sentinel as a DMA/slab offset. Returns
-    (lo_c, cnt_c, sid_c, offs_c, total, nonzero) at static width k_cap.
+    (lo_c, cnt_c, sid_c, offs_c, total, nonzero, cfits) at static width
+    k_cap.
+
+    ``compact_step`` (static) routes compaction through the Pallas
+    stream-compaction kernel (kernels.compact: staged monotone shifts,
+    no sort at all) with that many output rows per grid step — chosen by
+    the driver from the host-known selectivity (kernels.compact.
+    pick_out_step). ``cfits`` is then the kernel's coverage flag; the
+    caller falls back to the sort path when it is False.
 
     ``all_matched`` (static) asserts nonzero == m — the caller checked
     every probe row has a match (always true on fully-covered key
     domains, e.g. the reference's 10Mx10M config) — making compaction the
     identity and skipping its sort entirely."""
     cnt = state.counts
+    m = cnt.shape[0]
+    total = jnp.sum(cnt)
+    nonzero = jnp.sum((cnt > 0).astype(jnp.int32))
+    if compact_step is not None and not all_matched:
+        from tpujoin.kernels import compact as ck
+
+        if jax.default_backend() == "cpu":
+            kw = {"out_step": min(compact_step, 1024), "slab": 4096}
+        else:
+            kw = {"out_step": compact_step}
+        lo_c, cnt_c, sid_c, cfits = ck.compact3(
+            state.lo, cnt, state.probe_ids, k_cap, **kw)
+        offs_c = jnp.cumsum(cnt_c) - cnt_c
+        return lo_c, cnt_c, sid_c, offs_c, total, nonzero, cfits
     if all_matched:
         lo_s, cnt_s, sid_s = state.lo, cnt, state.probe_ids
     else:
@@ -98,7 +121,6 @@ def _compact(state: SortedProbe, k_cap: int, all_matched: bool = False):
         mlo_s, cnt_s, sid_s = jax.lax.sort(
             (mlo, cnt, state.probe_ids), num_keys=1)
         lo_s = jnp.where(cnt_s > 0, mlo_s, 0)
-    m = cnt.shape[0]
 
     def fit(a):
         if k_cap <= m:
@@ -107,9 +129,7 @@ def _compact(state: SortedProbe, k_cap: int, all_matched: bool = False):
 
     lo_c, cnt_c, sid_c = fit(lo_s), fit(cnt_s), fit(sid_s)
     offs_c = jnp.cumsum(cnt_c) - cnt_c
-    total = jnp.sum(cnt)
-    nonzero = jnp.sum((cnt > 0).astype(jnp.int32))
-    return lo_c, cnt_c, sid_c, offs_c, total, nonzero
+    return lo_c, cnt_c, sid_c, offs_c, total, nonzero, jnp.bool_(True)
 
 
 def _group_heads(lo_c, cnt_c, offs_c, k_cap: int, nonzero):
@@ -128,22 +148,27 @@ def _group_heads(lo_c, cnt_c, offs_c, k_cap: int, nonzero):
     return goff_h, glo_h, gnb_h, ngroups
 
 
-@functools.partial(jax.jit, static_argnames=("k_cap", "capacity"))
+@functools.partial(jax.jit,
+                   static_argnames=("k_cap", "capacity", "compact_step"))
 def probe_materialize(
     ht: HashJoinTable,
     state: SortedProbe,
     k_cap: int,
     capacity: int,
     probe_base: int | jax.Array = 0,
+    compact_step: int | None = None,
 ):
     """Materialize phase at static capacities (k_cap >= nonzero_rows,
     capacity >= total). Returns (r_ids, s_ids, total, fits), pad slots = -1.
 
-    ``fits`` is False iff capacity < total or k_cap < nonzero — the output
-    would then be a silent truncation of the pair multiset. Every driver
-    checks it (the same contract as the expansion kernels' ``fits``
-    flag)."""
-    lo_c, cnt_c, sid_c, offs_c, total, nonzero = _compact(state, k_cap)
+    ``fits`` is False iff capacity < total, k_cap < nonzero, or (with
+    ``compact_step`` set) the Pallas compaction kernel's coverage check
+    failed — the output would then be a silent truncation of the pair
+    multiset. Every driver checks it (the same contract as the expansion
+    kernels' ``fits`` flag) and retries with compact_step=None on a
+    compaction miss."""
+    lo_c, cnt_c, sid_c, offs_c, total, nonzero, cfits = _compact(
+        state, k_cap, compact_step=compact_step)
 
     bpos, sid_out = expand(offs_c, lo_c, sid_c, capacity)
     t = jnp.arange(capacity, dtype=jnp.int32)
@@ -151,7 +176,7 @@ def probe_materialize(
     bpos = jnp.clip(bpos, 0, ht.num_rows - 1)
     r_ids = jnp.where(valid, jnp.take(ht.sorted_ids, bpos), -1)
     s_ids = jnp.where(valid, sid_out + probe_base, -1)
-    fits = jnp.logical_and(total <= capacity, nonzero <= k_cap)
+    fits = jnp.logical_and(total <= capacity, nonzero <= k_cap) & cfits
     return r_ids.astype(jnp.int32), s_ids.astype(jnp.int32), total, fits
 
 
@@ -184,7 +209,7 @@ def probe_materialize_runs(
     ``fits`` False means the workload's runs don't fit the kernel's slabs
     (low duplication / wild source spread) and the caller must use
     :func:`probe_materialize` instead. Outputs are only valid when fits."""
-    lo_c, cnt_c, sid_c, offs_c, total, nonzero = _compact(state, k_cap)
+    lo_c, cnt_c, sid_c, offs_c, total, nonzero, _ = _compact(state, k_cap)
 
     kw = {} if src_slab is None else {"src_slab": src_slab}
     r_ids, s_ids, fits = expand_runs(
@@ -223,7 +248,7 @@ def probe_materialize_groups(
     if profile is None and jax.default_backend() == "cpu":
         profile = (4, 16, 8)
 
-    lo_c, cnt_c, sid_c, offs_c, total, nonzero = _compact(state, k_cap)
+    lo_c, cnt_c, sid_c, offs_c, total, nonzero, _ = _compact(state, k_cap)
     goff_h, glo_h, gnb_h, ngroups = _group_heads(
         lo_c, cnt_c, offs_c, k_cap, nonzero)
 
@@ -267,7 +292,7 @@ def probe_materialize_fill(
     if profile is None and jax.default_backend() == "cpu":
         profile = (4096, 6)
 
-    lo_c, cnt_c, sid_c, offs_c, total, nonzero = _compact(
+    lo_c, cnt_c, sid_c, offs_c, total, nonzero, _ = _compact(
         state, k_cap, all_matched=all_matched)
     goff_h, glo_h, gnb_h, ngroups = _group_heads(
         lo_c, cnt_c, offs_c, k_cap, nonzero)
@@ -292,7 +317,7 @@ def probe_rle(ht: HashJoinTable, state: SortedProbe, k_cap: int):
     just to hold ~100k distinct runs, join-performances.md:3-5); downstream
     operators (aggregations, semi-joins) can consume runs directly, and
     :func:`probe_materialize` expands on demand."""
-    lo_c, cnt_c, sid_c, _, _, _ = _compact(state, k_cap)
+    lo_c, cnt_c, sid_c, _, _, _, _ = _compact(state, k_cap)
     return sid_c, lo_c, cnt_c
 
 
@@ -424,8 +449,26 @@ def plan_materialize(
                 return "runs", (lambda s=slab: probe_materialize_runs(
                     ht, state, k_cap, capacity, probe_base=probe_base,
                     src_slab=s)[:3])
-    return "expand", (lambda: probe_materialize(
-        ht, state, k_cap, capacity, probe_base=probe_base)[:3])
+    # expand path: compact with the Pallas kernel instead of the 3-ary
+    # sort when the host-known selectivity fits its coverage envelope
+    # (the device fits flag guards local dips; sort fallback otherwise)
+    cstep = None
+    m = state.counts.shape[0]
+    # (auto-selection is TPU-only: on the CPU test backend the interpret-
+    # mode probe would only add executables toward the XLA:CPU compile
+    # budget — dedicated tests drive compact_step explicitly there)
+    if 0 < nonzero < m and jax.default_backend() != "cpu":
+        from tpujoin.kernels.compact import pick_out_step
+        cstep = pick_out_step(m, nonzero)
+        if cstep is not None:
+            _, _, _, fits = probe_materialize(
+                ht, state, k_cap, capacity, probe_base=probe_base,
+                compact_step=cstep)
+            if not bool(fits):
+                cstep = None
+    return "expand", (lambda c=cstep: probe_materialize(
+        ht, state, k_cap, capacity, probe_base=probe_base,
+        compact_step=c)[:3])
 
 
 def merge_join(
