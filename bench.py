@@ -530,15 +530,27 @@ def bench_aggregate(rows: int, key_max: int, verify: bool) -> dict:
                          bytes_touched=rows * 8)
     ngroups = int(agg.group_count(keys))
     cap = round_up(ngroups, 1 << 20)
-    mat_stat = time_fn(lambda: agg.group_materialize(keys, cap),
-                       name="agg_materialize", rows=rows,
+    # kernel boundary compaction when the group density fits (fits-guarded)
+    cstep = None
+    if jax.devices()[0].platform != "cpu":
+        from tpujoin.kernels.compact import pick_out_step
+        cstep = pick_out_step(rows, ngroups)
+        if cstep is not None:
+            *_, fits = agg.group_materialize(keys, cap, compact_step=cstep)
+            if not bool(fits):
+                cstep = None
+    eprint(f"aggregate compaction: "
+           f"{'kernel/' + str(cstep) if cstep else 'sort'}")
+    mat = (lambda: agg.group_materialize(keys, cap, compact_step=cstep)[:3]
+           if cstep else agg.group_materialize(keys, cap))
+    mat_stat = time_fn(mat, name="agg_materialize", rows=rows,
                        bytes_touched=rows * 12 + cap * 8)
     for st in (count_stat, mat_stat):
         eprint(json.dumps(st.as_dict()))
     verified = None
     if verify:
         from tpujoin import oracle
-        gk, gc, _ = agg.group_materialize(keys, cap)
+        gk, gc, _ = mat()
         ok, oc = oracle.group_by_count(np.asarray(keys))
         verified = (np.array_equal(np.asarray(gk[:ngroups]), ok)
                     and np.array_equal(np.asarray(gc[:ngroups]), oc))
@@ -557,19 +569,41 @@ def bench_filter(rows: int, verify: bool) -> dict:
                               0.0, 160.0)
     jax.block_until_ready(vals)
     cap = round_up(rows // 2 + rows // 8, 1 << 20)
-    stat = time_fn(lambda: flt.filter_device(vals, 80.0, capacity=cap),
-                   name="filter", rows=rows, bytes_touched=rows * 12)
+    # Pallas stream-compaction when the selectivity fits its envelope
+    # (fits-guarded; packed-sort fallback) — same policy as the join's
+    # materialize compaction
+    cstep = None
+    if jax.devices()[0].platform != "cpu":
+        from tpujoin.kernels.compact import pick_out_step
+        total0 = int(flt.filter_count(vals < 80.0))
+        cstep = pick_out_step(rows, total0)
+        if cstep is not None:
+            _, _, fits = flt.filter_materialize_kernel(vals < 80.0, cap,
+                                                       cstep)
+            if not bool(fits):
+                cstep = None
+    eprint(f"filter compaction: {'kernel/' + str(cstep) if cstep else 'sort'}")
+    if cstep is not None:
+        run = lambda: flt.filter_materialize_kernel(  # noqa: E731
+            vals < 80.0, cap, cstep)[:2]
+    else:
+        run = lambda: flt.filter_device(vals, 80.0, capacity=cap)  # noqa: E731
+    stat = time_fn(run, name="filter", rows=rows, bytes_touched=rows * 12)
     eprint(json.dumps(stat.as_dict()))
     verified = None
     if verify:
-        ids, total = flt.filter_device(vals, 80.0, capacity=cap)
+        ids, total = run()
         total = int(total)
         v = np.asarray(vals)
+        ids_np = np.asarray(ids[:total])
         verified = (total == int((v < 80.0).sum())
-                    and bool((v[np.asarray(ids[:total])] < 80.0).all()))
+                    and bool((v[ids_np] < 80.0).all())
+                    and bool((np.diff(ids_np) > 0).all()))
         eprint(f"filter parity: {'PASS' if verified else 'FAIL'}")
     return {"op": "filter", "rows": rows, "total_seconds": stat.seconds,
-            "rows_per_sec": rows / stat.seconds, "verified": verified}
+            "rows_per_sec": rows / stat.seconds,
+            "compaction": "kernel" if cstep else "sort",
+            "verified": verified}
 
 
 def bench_multi_join(rows: int, verify: bool) -> dict:

@@ -84,6 +84,52 @@ def test_pick_out_step():
     assert pick_out_step(100, 0) is None
 
 
+@pytest.mark.parametrize("sel,seed", [(0.5, 0), (0.9, 1), (1.0, 2)])
+def test_compact_ids(sel, seed):
+    from tpujoin.kernels.compact import compact_ids
+
+    rng = np.random.default_rng(seed)
+    mask = rng.random(N) < sel
+    nonzero = int(mask.sum())
+    k_cap = 4096
+    ids, total, fits = compact_ids(jnp.asarray(mask), k_cap,
+                                   out_step=OUT, slab=SLAB, interpret=True)
+    assert bool(fits) and int(total) == nonzero
+    ids = np.asarray(ids)
+    k = min(nonzero, k_cap)
+    np.testing.assert_array_equal(ids[:k], np.flatnonzero(mask)[:k])
+    assert np.all(ids[nonzero:] == -1)
+
+
+def test_filter_materialize_kernel_matches_sort():
+    from tpujoin.ops import filter as flt
+
+    rng = np.random.default_rng(3)
+    mask = jnp.asarray(rng.random(N) < 0.6)
+    cap = 8192
+    ids_s, total_s = flt.filter_materialize(mask, cap)
+    ids_k, total_k, fits = flt.filter_materialize_kernel(mask, cap, OUT)
+    assert bool(fits) and int(total_s) == int(total_k)
+    t = int(total_s)
+    np.testing.assert_array_equal(np.asarray(ids_s[:t]),
+                                  np.asarray(ids_k[:t]))
+
+
+def test_group_materialize_kernel_matches_sort():
+    from tpujoin.ops import aggregate as agg
+
+    rng = np.random.default_rng(5)
+    keys = jnp.asarray(rng.integers(1, 3000, N).astype(np.int32))
+    cap = 4096
+    gk_s, gc_s, ng_s = agg.group_materialize(keys, cap)
+    gk_k, gc_k, ng_k, fits = agg.group_materialize(keys, cap,
+                                                   compact_step=OUT)
+    assert bool(fits) and int(ng_s) == int(ng_k)
+    g = int(ng_s)
+    np.testing.assert_array_equal(np.asarray(gk_s[:g]), np.asarray(gk_k[:g]))
+    np.testing.assert_array_equal(np.asarray(gc_s[:g]), np.asarray(gc_k[:g]))
+
+
 def test_probe_materialize_integration():
     """probe_materialize(compact_step=...) must agree with the sort-based
     path end-to-end (same pairs, same order)."""

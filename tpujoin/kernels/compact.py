@@ -255,6 +255,124 @@ def compact3(
             c2.reshape(k_out)[:k_cap], fits)
 
 
+def _kernel_ids(r0row_ref, base_ref, lim_ref, m_hbm, out_ref,
+                m_buf, sems, *, out_step: int, slab: int, interpret: bool):
+    """Row-ID compaction: like _kernel but with NO payload slabs at all —
+    the compacted value IS the original row index, carried through the
+    staged shifts as each element's initial flat slab position (the
+    residual shift itself ends at 0, so it cannot reconstruct the id).
+    Only (s, v, orig) ride the shifts and only the mask slab is DMA'd."""
+    j = pl.program_id(0)
+    r0row = pl.multiple_of(r0row_ref[j], ALIGN // LANES)
+    base = base_ref[j]
+    nonzero = lim_ref[0]
+    start = j * out_step
+    sr = slab // LANES
+
+    cp = pltpu.make_async_copy(m_hbm.at[pl.ds(r0row, sr)], m_buf,
+                               sems.at[0])
+    cp.start()
+    cp.wait()
+
+    roll = jnp.roll if interpret else pltpu.roll
+    flat = (jax.lax.broadcasted_iota(jnp.int32, (sr, LANES), 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (sr, LANES), 1))
+    f = (m_buf[...] > 0).astype(jnp.int32)
+    rank = _rank_excl(f, roll)
+    dest = rank - (start - base)
+    keep = jnp.logical_and(
+        f > 0, jnp.logical_and(dest >= 0, dest < out_step))
+    v = keep.astype(jnp.int32)
+    s = flat - dest
+    orig = flat
+
+    k, bit = 1, 0
+    while k < slab:
+        inc_v = _flat_shl(v, k, roll)
+        inc_s = _flat_shl(s, k, roll)
+        take = jnp.logical_and(inc_v > 0, ((inc_s >> bit) & 1) > 0)
+        moved_out = ((s >> bit) & 1) > 0
+        orig = jnp.where(take, _flat_shl(orig, k, roll), orig)
+        s = jnp.where(take, inc_s - k, s)
+        v = jnp.where(take, 1, jnp.where(moved_out, 0, v))
+        k *= 2
+        bit += 1
+
+    orows = out_step // LANES
+    oflat = flat[:orows]
+    filled = jnp.logical_and(v[:orows] > 0, start + oflat < nonzero)
+    out_ref[...] = jnp.where(filled, r0row * LANES + orig[:orows], -1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k_cap", "out_step", "slab",
+                                    "interpret"))
+def compact_ids(
+    mask: jax.Array,   # [n] 0/1 (i32 or bool): rows to keep
+    k_cap: int,
+    *,
+    out_step: int = OUT_STEPS[1],
+    slab: int = SLAB,
+    interpret: bool | None = None,
+):
+    """(ids, total, fits): ascending row indices of the set mask bits, at
+    static width k_cap (tail = -1) — stream compaction of the identity
+    payload, the ops.filter workload. Same plan/fit contract as
+    :func:`compact3` but the kernel DMAs ONE mask slab and shifts two
+    arrays instead of five: the landed shift value reconstructs the id."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    assert slab % ALIGN == 0 and out_step % ALIGN == 0
+    assert slab >= out_step + 2 * ALIGN
+    n = mask.shape[0]
+    n_pad = max(round_up(n, ALIGN), slab)
+    mi = jnp.pad(mask.astype(jnp.int32), (0, n_pad - n))
+
+    nb = n_pad // ALIGN
+    cblk = jnp.sum(mi.reshape(nb, ALIGN), axis=1)
+    csum = jnp.cumsum(cblk)
+    excl = csum - cblk
+    nonzero = csum[-1]
+
+    k_out = round_up(k_cap, out_step)
+    num_steps = k_out // out_step
+    starts = jnp.arange(num_steps, dtype=jnp.int32) * out_step
+    b0 = jnp.searchsorted(excl, starts, side="right",
+                          method="scan_unrolled").astype(jnp.int32) - 1
+    r0 = jnp.clip(jnp.clip(b0, 0, nb - 1) * ALIGN, 0, n_pad - slab)
+    base = jnp.take(excl, r0 // ALIGN)
+    need = jnp.minimum(starts + out_step, nonzero)
+    b1 = jnp.searchsorted(csum, need, side="left",
+                          method="scan_unrolled").astype(jnp.int32) + 1
+    fits = jnp.all(jnp.where(starts < nonzero,
+                             b1 * ALIGN <= r0 + slab, True))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_steps,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[
+            pl.BlockSpec((out_step // LANES, LANES), lambda j, *_: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((slab // LANES, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    (ids2,) = pl.pallas_call(
+        functools.partial(_kernel_ids, out_step=out_step, slab=slab,
+                          interpret=interpret),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((k_out // LANES, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(r0 // LANES, base, jnp.stack([nonzero]),
+      mi.reshape(n_pad // LANES, LANES))
+    return ids2.reshape(k_out)[:k_cap], nonzero, fits
+
+
 def pick_out_step(n: int, nonzero: int, *, slab: int = SLAB) -> int | None:
     """Largest OUT whose mean covering span fits the slab with
     COVER_SLACK headroom, or None when even the smallest doesn't (the

@@ -32,16 +32,29 @@ def group_count(keys: jax.Array) -> jax.Array:
     return jnp.sum(is_boundary.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("capacity",))
-def group_materialize(keys: jax.Array, capacity: int):
+@functools.partial(jax.jit, static_argnames=("capacity", "compact_step"))
+def group_materialize(keys: jax.Array, capacity: int,
+                      compact_step: int | None = None):
     """Materialize phase: (unique_keys, counts, num_groups), padded to
-    capacity (pad keys = -1, pad counts = 0)."""
+    capacity (pad keys = -1, pad counts = 0).
+
+    ``compact_step`` (static) compacts the boundary positions with the
+    Pallas stream-compaction kernel instead of the packed sort (chosen by
+    the driver from the host-known group count); the returned tuple then
+    carries the kernel's coverage flag as an extra last element and the
+    driver falls back on False."""
     n = keys.shape[0]
     sk = jax.lax.sort(keys)
     is_boundary = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]]
     )
-    starts, num_groups = filter_materialize(is_boundary, capacity)
+    if compact_step is None:
+        starts, num_groups = filter_materialize(is_boundary, capacity)
+        cfits = None
+    else:
+        from tpujoin.ops.filter import filter_materialize_kernel
+        starts, num_groups, cfits = filter_materialize_kernel(
+            is_boundary, capacity, compact_step)
     valid = starts >= 0
     safe_starts = jnp.where(valid, starts, 0)
     group_keys = jnp.where(valid, jnp.take(sk, safe_starts), -1)
@@ -52,7 +65,9 @@ def group_materialize(keys: jax.Array, capacity: int):
     is_last = jnp.arange(capacity, dtype=jnp.int32) == (num_groups - 1)
     ends = jnp.where(is_last, n, next_start)
     counts = jnp.where(valid, ends - safe_starts, 0)
-    return group_keys.astype(jnp.int32), counts.astype(jnp.int32), num_groups
+    out = (group_keys.astype(jnp.int32), counts.astype(jnp.int32),
+           num_groups)
+    return out if cfits is None else out + (cfits,)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
@@ -128,5 +143,15 @@ def group_by_count(keys, *, pad_multiple: int = 1 << 16):
     if ngroups == 0:
         return np.empty((0,), np.int32), np.empty((0,), np.int32)
     cap = round_up(ngroups, pad_multiple)
-    gk, gc, _ = group_materialize(keys, cap)
+    gk = None
+    if jax.default_backend() != "cpu":
+        from tpujoin.kernels.compact import pick_out_step
+        cstep = pick_out_step(int(keys.shape[0]), ngroups)
+        if cstep is not None:
+            gk_k, gc_k, _, fits = group_materialize(
+                keys, cap, compact_step=cstep)
+            if bool(fits):
+                gk, gc = gk_k, gc_k
+    if gk is None:
+        gk, gc, _ = group_materialize(keys, cap)
     return np.asarray(gk[:ngroups]), np.asarray(gc[:ngroups])

@@ -66,6 +66,23 @@ def filter_materialize(mask: jax.Array, capacity: int):
     return out, total
 
 
+@functools.partial(jax.jit, static_argnames=("capacity", "compact_step"))
+def filter_materialize_kernel(mask: jax.Array, capacity: int,
+                              compact_step: int):
+    """Compaction by the Pallas stream-compaction kernel
+    (kernels.compact.compact_ids: staged monotone shifts, no sort and no
+    payload slabs — the landed shift reconstructs the row id). Returns
+    (ids, total, fits); when fits is False (a local selectivity dip blew
+    the slab coverage) the caller falls back to the sort path."""
+    from tpujoin.kernels.compact import compact_ids
+
+    if jax.default_backend() == "cpu":
+        kw = {"out_step": min(compact_step, 1024), "slab": 4096}
+    else:
+        kw = {"out_step": compact_step}
+    return compact_ids(mask, capacity, **kw)
+
+
 def filter_table(
     table: Table,
     predicate,
@@ -79,7 +96,10 @@ def filter_table(
 
     ``predicate`` is an elementwise jnp function over the column, e.g.
     ``lambda v: v < 80.0`` (the reference's hard-coded predicate at
-    selection.mlir:61).
+    selection.mlir:61). With the count known, compaction goes through the
+    Pallas kernel when the selectivity fits its envelope (TPU only — on
+    the CPU test backend the packed sort stays primary), else the packed
+    sort.
     """
     mask = predicate(table[column])
     total = int(filter_count(mask))
@@ -87,7 +107,16 @@ def filter_table(
         empty = Table({n: jnp.empty((0,), c.dtype) for n, c in table.columns.items()})
         return (empty.to_numpy() if return_numpy else empty)
     cap = round_up(total, pad_multiple)
-    ids, _ = filter_materialize(mask, cap)
+    ids = None
+    if jax.default_backend() != "cpu":
+        from tpujoin.kernels.compact import pick_out_step
+        cstep = pick_out_step(int(mask.shape[0]), total)
+        if cstep is not None:
+            ids_k, _, fits = filter_materialize_kernel(mask, cap, cstep)
+            if bool(fits):
+                ids = ids_k
+    if ids is None:
+        ids, _ = filter_materialize(mask, cap)
     out = table.gather(ids[:total])
     if return_numpy:
         return {n: np.asarray(c) for n, c in out.columns.items()}
