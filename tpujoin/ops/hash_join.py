@@ -130,19 +130,53 @@ def probe_materialize(
     whose exclusive-cumsum offset is <= t; its j-th match is build position
     lo[row] + (t - offsets[row]). Slots >= total are padded with -1.
 
+    Two regimes, chosen statically (both pure-XLA sort/scan/scatter/gather
+    dataflow — the v1 engine's idiom; the Pallas windowed kernels are v2):
+
+    - capacity < m (low selectivity): per-slot row via ONE searchsorted
+      over the offsets plus O(capacity) gathers.
+    - capacity >= m (dense): scatter ONE packed i64 marker per matched
+      row at its output offset — (row << 32) | biased(lo - offset) — and
+      forward-fill with lax.cummax: rows ascend with offsets, so the
+      packed markers ascend and a running max IS the stable forward fill.
+      Replaces the searchsorted (a 2-ary sort at capacity+m width) and
+      TWO of the three O(capacity) gathers; measured 4x+ on the 1B-pair
+      reference config (90 s -> ~20 s), leaving the unavoidable
+      result-id gather (~73M idx/s) as the v1 engine's floor.
+
     Returns (r_ids, s_ids, total, fits) where r_ids/s_ids are [capacity]
     i32; ``fits`` is False iff capacity < total (the output would then be a
     silently-truncated multiset — every driver checks it).
     """
+    m = counts.shape[0]
     offsets = jnp.cumsum(counts) - counts          # exclusive prefix sum
-    total = offsets[-1] + counts[-1] if counts.shape[0] else jnp.int32(0)
+    total = offsets[-1] + counts[-1] if m else jnp.int32(0)
     t = jnp.arange(capacity, dtype=jnp.int32)
-    # 'right' picks the LAST row with offset <= t, skipping zero-count rows
-    # (they share an offset with their successor).
-    row = jnp.searchsorted(offsets, t, side="right", method=_SS_METHOD) - 1
-    row = jnp.clip(row, 0, counts.shape[0] - 1).astype(jnp.int32)
-    j = t - jnp.take(offsets, row)
-    bpos = jnp.take(lo, row) + j
+    if capacity >= m:
+        with jax.enable_x64(True):
+            rows64 = jnp.arange(m, dtype=jnp.int64)
+            c64 = (lo - offsets).astype(jnp.int64) + jnp.int64(1 << 31)
+            pack = (rows64 << 32) | c64
+            pos = jnp.where(counts > 0, offsets, capacity)
+            sentinel = jnp.int64(-1) << 62
+            mark = jnp.full((capacity,), sentinel, jnp.int64)
+            mark = mark.at[pos].set(pack, mode="drop")
+            filled = jax.lax.cummax(mark)
+            row = (filled >> 32).astype(jnp.int32)
+            coff = ((filled & jnp.int64(0xFFFFFFFF))
+                    - jnp.int64(1 << 31)).astype(jnp.int32)
+        bpos = coff + t
+        seen = row >= 0
+        row = jnp.where(seen, row, 0)
+        bpos = jnp.where(seen, bpos, 0)
+    else:
+        # 'right' picks the LAST row with offset <= t, skipping zero-count
+        # rows (they share an offset with their successor).
+        row = jnp.searchsorted(offsets, t, side="right",
+                               method=_SS_METHOD) - 1
+        row = jnp.clip(row, 0, m - 1).astype(jnp.int32)
+        j = t - jnp.take(offsets, row)
+        bpos = jnp.take(lo, row) + j
     bpos = jnp.clip(bpos, 0, ht.num_rows - 1)
     valid = t < total
     r_ids = jnp.where(valid, jnp.take(ht.sorted_ids, bpos), -1)

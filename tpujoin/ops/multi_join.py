@@ -133,42 +133,80 @@ def join_with_pushdown(
     config 2), then join only the surviving rows. Returned ids refer to
     the ORIGINAL tables. Fully device-resident (filter, join, and the
     kept-row -> original-row id remap all stay on device; only scalar
-    counts cross the host boundary)."""
-    from tpujoin.ops.filter import filter_table
+    counts cross the host boundary).
+
+    The per-side pushdown gathers only ONE array at the kept rows — the
+    precomputed candidate key (elementwise over the full column, free) —
+    never the key/value columns themselves; the exact post-filter reads
+    the original columns at O(result) candidate pairs and the kept->original
+    remap is the compaction output itself. (The previous formulation
+    materialized whole filtered Tables — 4 O(kept) column gathers per
+    side at ~73M idx/s dominated the join, measured 12 s vs ~3.3 s for
+    the un-pushed join at 100M rows.) Kept buffers stay at bucketed
+    static widths, padded with per-side sentinel keys above the candidate
+    range (combined_key caps real keys at 0x7FFFFFFD) so pads never match
+    anything — including each other."""
+    from tpujoin.kernels.compact import pick_out_step
+    from tpujoin.ops import merge_join as mj
+    from tpujoin.ops.filter import (filter_count, filter_materialize,
+                                    filter_materialize_kernel)
 
     if isinstance(on, str):
         on = [on]
 
-    def push(table: Table, pred, col):
-        if pred is None:
-            return table, None
-        with_ids = table.with_column("__rowid", jnp.arange(table.num_rows,
-                                                           dtype=jnp.int32))
-        kept = filter_table(with_ids, pred, col,
-                            pad_multiple=result_pad_multiple)
-        return kept, (kept["__rowid"] if kept.num_rows else
-                      jnp.empty((0,), jnp.int32))
+    @jax.jit
+    def take_pad(full, ids, pad_key):
+        valid = ids >= 0
+        hk = jnp.take(full, jnp.clip(ids, 0, full.shape[0] - 1))
+        return jnp.where(valid, hk, pad_key)
 
-    r_kept, r_map = push(r, r_pred, r_pred_col)
-    s_kept, s_map = push(s, s_pred, s_pred_col)
-    if r_kept.num_rows == 0 or s_kept.num_rows == 0:
+    def push(table: Table, pred, col, pad_key):
+        hk_full = combined_key(table, on)
+        if pred is None:
+            return jnp.arange(table.num_rows, dtype=jnp.int32), hk_full
+        mask = pred(table[col])
+        total = int(filter_count(mask))
+        if total == 0:
+            return None, None
+        cap = round_up(total, result_pad_multiple)
+        ids = None
+        if jax.default_backend() != "cpu":
+            cstep = pick_out_step(table.num_rows, total)
+            if cstep is not None:
+                ids_k, _, fits = filter_materialize_kernel(mask, cap, cstep)
+                if bool(fits):
+                    ids = ids_k
+        if ids is None:
+            ids, _ = filter_materialize(mask, cap)
+        return ids, take_pad(hk_full, ids, pad_key)
+
+    r_ids_kept, hk_r = push(r, r_pred, r_pred_col, jnp.int32(0x7FFFFFFF))
+    s_ids_kept, hk_s = push(s, s_pred, s_pred_col, jnp.int32(0x7FFFFFFE))
+    if hk_r is None or hk_s is None:
         e = np.empty(0, np.int32)
         return (e, e) if return_numpy else (jnp.asarray(e), jnp.asarray(e),
                                             0)
-    out_r, out_s, total = hash_join_multi(
-        r_kept, s_kept, on, result_pad_multiple=result_pad_multiple,
-        return_numpy=False)
 
-    @functools.partial(jax.jit, static_argnames=())
-    def remap(ids, mapping):
-        valid = ids >= 0
-        safe = jnp.clip(ids, 0, mapping.shape[0] - 1)
-        return jnp.where(valid, jnp.take(mapping, safe), -1)
-
-    if r_map is not None:
-        out_r = remap(out_r, r_map)
-    if s_map is not None:
-        out_s = remap(out_s, s_map)
+    ht = mj.build(hk_r)
+    state, total_a, nonzero_a = mj.probe_count(ht, hk_s)
+    total_c, nonzero = int(total_a), int(nonzero_a)
+    if total_c == 0:
+        e = np.empty(0, np.int32)
+        return (e, e) if return_numpy else (jnp.asarray(e), jnp.asarray(e),
+                                            0)
+    cap2 = round_up(total_c, result_pad_multiple)
+    k_cap = round_up(nonzero, max(result_pad_multiple // 8, 1024))
+    _, mat = mj.plan_materialize(ht, state, k_cap, cap2, total=total_c,
+                                 nonzero=nonzero)
+    cand_r, cand_s, _ = mat()
+    # kept-position -> original-row ids, O(result)
+    cand_r = take_pad(r_ids_kept, cand_r, jnp.int32(-1))
+    cand_s = take_pad(s_ids_kept, cand_s, jnp.int32(-1))
+    r_cols = tuple(r[c] for c in on)
+    s_cols = tuple(s[c] for c in on)
+    out_r, out_s, total2_a = _exact_filter(r_cols, s_cols, cand_r, cand_s,
+                                           cap2, len(on))
+    total = int(total2_a)
     if return_numpy:
         return np.asarray(out_r[:total]), np.asarray(out_s[:total])
     return out_r, out_s, total
