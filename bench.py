@@ -237,7 +237,21 @@ def bench_join_dense(cfg: JoinConfig, verify: bool) -> dict:
     state, total_a, nonzero_a = mj_mod.probe_count(ht, pk)
     total, nonzero = int(total_a), int(nonzero_a)
     k_cap = round_up(nonzero, 1 << 20)
-    rle_stat = time_fn(lambda: mj_mod.probe_rle(ht, state, k_cap),
+    # RLE compaction: identity when every probe row matched, Pallas
+    # kernel when the selectivity fits, 3-ary sort fallback
+    all_matched = nonzero == cfg.probe_rows
+    rle_kw = {"all_matched": True} if all_matched else {}
+    if not all_matched:
+        from tpujoin.kernels.compact import pick_out_step
+        cstep = pick_out_step(cfg.probe_rows, nonzero)
+        if cstep is not None:
+            *_, fits = mj_mod.probe_rle(ht, state, k_cap,
+                                        compact_step=cstep)
+            if bool(fits):
+                rle_kw = {"compact_step": cstep}
+    eprint(f"rle compaction: {rle_kw or 'sort'}")
+    rle_stat = time_fn(lambda: mj_mod.probe_rle(ht, state, k_cap,
+                                                **rle_kw)[:3],
                        name="rle_result", rows=nonzero)
 
     # pair materialization only when the full result fits HBM (Zipf-skew

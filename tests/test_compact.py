@@ -130,6 +130,27 @@ def test_group_materialize_kernel_matches_sort():
     np.testing.assert_array_equal(np.asarray(gc_s[:g]), np.asarray(gc_k[:g]))
 
 
+def test_probe_rle_compact_step_matches_sort():
+    from tpujoin.ops import merge_join as mj
+    from tpujoin.ops.hash_join import build
+
+    rng = np.random.default_rng(13)
+    bk = rng.integers(1, 400, 4096).astype(np.int32)
+    pk = rng.integers(1, 1200, 4096).astype(np.int32)
+    ht = build(jnp.asarray(bk))
+    state, _, nonzero_a = mj.probe_count(ht, jnp.asarray(pk))
+    nonzero = int(nonzero_a)
+    assert 0 < nonzero < 4096
+    k_cap = 4096
+    sid0, lo0, cnt0 = mj.probe_rle(ht, state, k_cap)
+    sid1, lo1, cnt1, fits = mj.probe_rle(ht, state, k_cap,
+                                         compact_step=OUT)
+    assert bool(fits)
+    for a, b in ((sid0, sid1), (lo0, lo1), (cnt0, cnt1)):
+        np.testing.assert_array_equal(np.asarray(a[:nonzero]),
+                                      np.asarray(b[:nonzero]))
+
+
 def test_probe_materialize_integration():
     """probe_materialize(compact_step=...) must agree with the sort-based
     path end-to-end (same pairs, same order)."""

@@ -46,3 +46,21 @@ def test_empty_probe_and_build():
     p = jnp.asarray(np.arange(1, 100, dtype=np.int32))
     lo, cnt = merge_count(b_empty, p, interpret=True)
     assert int(jnp.sum(cnt)) == 0
+
+
+def test_big_metadata_path_matches_prefetch_path():
+    """The big-m variant (per-step HBM->SMEM metadata slab DMAs instead
+    of scalar prefetch) must agree exactly with the default path — forced
+    here with a tiny smem_tile_budget so it runs at CPU-test sizes."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpujoin.kernels.merge_count import merge_count
+
+    rng = np.random.default_rng(42)
+    b = np.sort(rng.integers(1, 5000, 8192)).astype(np.int32)
+    p = np.sort(rng.integers(1, 5000, 8192)).astype(np.int32)
+    lo0, c0 = merge_count(jnp.asarray(b), jnp.asarray(p), interpret=True)
+    lo1, c1 = merge_count(jnp.asarray(b), jnp.asarray(p), interpret=True,
+                          smem_tile_budget=2)
+    np.testing.assert_array_equal(np.asarray(lo0), np.asarray(lo1))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))

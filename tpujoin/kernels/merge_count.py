@@ -44,11 +44,15 @@ SUB = 512          # compare-slab rows per step (caps the [SUB, TILE] temps)
 PAD_KEY = jnp.int32(0x7FFFFFFF)
 
 
-def _kernel(w0_ref, nchunks_ref, pk_ref, b_hbm, lo_ref, cnt_ref,
-            bbuf, sem):
-    i = pl.program_id(0)
-    w0 = w0_ref[i]
-    nchunks = nchunks_ref[i]
+MSLAB = 1024       # per-tile metadata slab (big-m path): entries DMA'd
+                   # HBM->SMEM per step instead of scalar-prefetched
+SMEM_TILE_BUDGET = 65536   # above this many tiles the two scalar-prefetch
+                           # arrays (4 B/tile each) would crowd the 1 MB
+                           # SMEM (observed OOM at 200M rows: 2 x 764 KB)
+
+
+def _body(w0, nchunks, pk_ref, b_hbm, lo_ref, cnt_ref, bbuf, sem):
+    """Window scan shared by both metadata paths."""
     # probe keys along LANES: the per-chunk reduction then runs along
     # sublanes (cheap) and accumulators keep a dense (1, TILE) lane layout
     p = pk_ref[:].reshape(1, TILE)
@@ -100,12 +104,42 @@ def _kernel(w0_ref, nchunks_ref, pk_ref, b_hbm, lo_ref, cnt_ref,
     cnt_ref[:] = cnt_acc.reshape(TILE).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _kernel(w0_ref, nchunks_ref, pk_ref, b_hbm, lo_ref, cnt_ref,
+            bbuf, sem):
+    i = pl.program_id(0)
+    _body(w0_ref[i], nchunks_ref[i], pk_ref, b_hbm, lo_ref, cnt_ref,
+          bbuf, sem)
+
+
+def _kernel_big(pk_ref, w0_hbm, nc_hbm, b_hbm, lo_ref, cnt_ref,
+                bbuf, mw, mn, sem, msems):
+    """Big-m variant: per-tile (w0, nchunks) stay in HBM and each step
+    DMAs its MSLAB-aligned metadata slab into SMEM scratch — SMEM use is
+    O(MSLAB), not O(num_tiles), so probe widths are unbounded (the
+    distributed local join feeds 2x-capacity received buffers through
+    this kernel)."""
+    i = pl.program_id(0)
+    base = pl.multiple_of((i // MSLAB) * MSLAB, MSLAB)
+    cp1 = pltpu.make_async_copy(w0_hbm.at[pl.ds(base, MSLAB)], mw,
+                                msems.at[0])
+    cp2 = pltpu.make_async_copy(nc_hbm.at[pl.ds(base, MSLAB)], mn,
+                                msems.at[1])
+    cp1.start()
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
+    _body(mw[i - base], mn[i - base], pk_ref, b_hbm, lo_ref, cnt_ref,
+          bbuf, sem)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "smem_tile_budget"))
 def merge_count(
     sorted_build_keys: jax.Array,
     sorted_probe_keys: jax.Array,
     *,
     interpret: bool | None = None,
+    smem_tile_budget: int | None = None,
 ):
     """(lo, counts) for every sorted probe key against the sorted build keys.
 
@@ -138,33 +172,77 @@ def merge_count(
     nchunks = jnp.where(first == PAD_KEY, 0, nchunks).astype(jnp.int32)
     w0 = jnp.minimum(w0, n_pad - CHUNK).astype(jnp.int32)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec((TILE,), lambda i, *_: (i,), memory_space=pltpu.VMEM),
-            # force HBM: untiled memref -> arbitrary-offset DMA slices are
-            # legal, and at 100M rows it could never live in VMEM anyway
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
-        out_specs=[
-            pl.BlockSpec((TILE,), lambda i, *_: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE,), lambda i, *_: (i,), memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((CHUNK,), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )
-    lo, cnt = pl.pallas_call(
-        _kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((m_pad,), jnp.int32),
-            jax.ShapeDtypeStruct((m_pad,), jnp.int32),
-        ],
-        interpret=interpret,
-    )(w0, nchunks, p, b)
+    if smem_tile_budget is None:
+        smem_tile_budget = SMEM_TILE_BUDGET
+    if num_tiles <= smem_tile_budget:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec((TILE,), lambda i, *_: (i,),
+                             memory_space=pltpu.VMEM),
+                # force HBM: untiled memref -> arbitrary-offset DMA slices
+                # are legal, and at 100M rows it could never live in VMEM
+                # anyway
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=[
+                pl.BlockSpec((TILE,), lambda i, *_: (i,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE,), lambda i, *_: (i,),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((CHUNK,), jnp.int32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+        lo, cnt = pl.pallas_call(
+            _kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((m_pad,), jnp.int32),
+                jax.ShapeDtypeStruct((m_pad,), jnp.int32),
+            ],
+            interpret=interpret,
+        )(w0, nchunks, p, b)
+    else:
+        # big-m path: metadata via per-step HBM->SMEM slab DMAs — the two
+        # O(num_tiles) scalar-prefetch arrays would exceed the 1 MB SMEM
+        # above ~130M probe rows (observed at the distributed local
+        # join's 2x-capacity 200M-row received buffers)
+        t_pad = round_up(num_tiles, MSLAB)
+        w0p = jnp.zeros((t_pad,), jnp.int32).at[:num_tiles].set(w0)
+        ncp = jnp.zeros((t_pad,), jnp.int32).at[:num_tiles].set(nchunks)
+        lo, cnt = pl.pallas_call(
+            _kernel_big,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec((TILE,), lambda i: (i,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=[
+                pl.BlockSpec((TILE,), lambda i: (i,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE,), lambda i: (i,),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((CHUNK,), jnp.int32),
+                pltpu.SMEM((MSLAB,), jnp.int32),
+                pltpu.SMEM((MSLAB,), jnp.int32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((m_pad,), jnp.int32),
+                jax.ShapeDtypeStruct((m_pad,), jnp.int32),
+            ],
+            interpret=interpret,
+        )(p, w0p, ncp, b)
     lo = jnp.minimum(lo[:m], n)
     return lo, cnt[:m]
 

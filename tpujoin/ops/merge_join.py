@@ -307,8 +307,10 @@ def probe_materialize_fill(
     return r_ids, s_ids, total, fits
 
 
-@functools.partial(jax.jit, static_argnames=("k_cap",))
-def probe_rle(ht: HashJoinTable, state: SortedProbe, k_cap: int):
+@functools.partial(jax.jit,
+                   static_argnames=("k_cap", "all_matched", "compact_step"))
+def probe_rle(ht: HashJoinTable, state: SortedProbe, k_cap: int,
+              all_matched: bool = False, compact_step: int | None = None):
     """Factorized (RLE) result at static row capacity: per matched probe
     row, (probe_id, lo, cnt) over ``ht.sorted_ids``. This IS the join result
     in run-length form — total pairs = sum(cnt) — produced without paying
@@ -316,9 +318,17 @@ def probe_rle(ht: HashJoinTable, state: SortedProbe, k_cap: int):
     workloads (the reference's 10Mx10M config materializes 1B pairs / 8.5 GB
     just to hold ~100k distinct runs, join-performances.md:3-5); downstream
     operators (aggregations, semi-joins) can consume runs directly, and
-    :func:`probe_materialize` expands on demand."""
-    lo_c, cnt_c, sid_c, _, _, _, _ = _compact(state, k_cap)
-    return sid_c, lo_c, cnt_c
+    :func:`probe_materialize` expands on demand.
+
+    ``all_matched`` (static, asserted by the caller from nonzero == m)
+    makes compaction the identity; ``compact_step`` (static) routes it
+    through the Pallas stream-compaction kernel and appends its coverage
+    flag to the returned tuple (sort fallback on False, same contract as
+    :func:`probe_materialize`)."""
+    lo_c, cnt_c, sid_c, _, _, _, cfits = _compact(
+        state, k_cap, all_matched=all_matched, compact_step=compact_step)
+    out = (sid_c, lo_c, cnt_c)
+    return out if compact_step is None else out + (cfits,)
 
 
 def merge_join_rle(build_keys, probe_keys, *, row_pad_multiple: int = 1 << 16):
@@ -335,7 +345,18 @@ def merge_join_rle(build_keys, probe_keys, *, row_pad_multiple: int = 1 << 16):
         e = np.empty(0, np.int32)
         return e, e, e, np.asarray(ht.sorted_ids)
     k_cap = round_up(nonzero, row_pad_multiple)
-    sid, lo, cnt = probe_rle(ht, state, k_cap)
+    m = int(probe_keys.shape[0])
+    kw = {}
+    if nonzero == m:
+        kw = {"all_matched": True}
+    elif jax.default_backend() != "cpu":
+        from tpujoin.kernels.compact import pick_out_step
+        cstep = pick_out_step(m, nonzero)
+        if cstep is not None:
+            *_, fits = probe_rle(ht, state, k_cap, compact_step=cstep)
+            if bool(fits):
+                kw = {"compact_step": cstep}
+    sid, lo, cnt, *_ = probe_rle(ht, state, k_cap, **kw)
     return (np.asarray(sid[:nonzero]), np.asarray(lo[:nonzero]),
             np.asarray(cnt[:nonzero]), np.asarray(ht.sorted_ids))
 
