@@ -160,6 +160,19 @@ def join_with_pushdown(
         hk = jnp.take(full, jnp.clip(ids, 0, full.shape[0] - 1))
         return jnp.where(valid, hk, pad_key)
 
+    @functools.partial(jax.jit, static_argnames=("cap", "cstep"))
+    def push_kernel(hk_full, mask, cap, cstep):
+        """Compact (candidate key, row id) by the predicate mask in ONE
+        stream-compaction kernel pass — no O(kept) key gather at all
+        (the measured 73M idx/s gather on ~50M kept rows costs more than
+        the whole compaction)."""
+        from tpujoin.kernels.compact import compact3
+
+        ids = jnp.arange(hk_full.shape[0], dtype=jnp.int32)
+        hk_c, _, ids_c, fits = compact3(hk_full, mask.astype(jnp.int32),
+                                        ids, cap, out_step=cstep)
+        return hk_c, ids_c, fits
+
     def push(table: Table, pred, col, pad_key):
         hk_full = combined_key(table, on)
         if pred is None:
@@ -169,15 +182,18 @@ def join_with_pushdown(
         if total == 0:
             return None, None
         cap = round_up(total, result_pad_multiple)
-        ids = None
         if jax.default_backend() != "cpu":
             cstep = pick_out_step(table.num_rows, total)
             if cstep is not None:
-                ids_k, _, fits = filter_materialize_kernel(mask, cap, cstep)
+                hk_c, ids_c, fits = push_kernel(hk_full, mask, cap, cstep)
                 if bool(fits):
-                    ids = ids_k
-        if ids is None:
-            ids, _ = filter_materialize(mask, cap)
+                    # compact3 zero-pads the tail and 0 is a legal hash
+                    # key: repaint pads with the per-side sentinel so tail
+                    # slots can never join (not even with each other)
+                    slot = jnp.arange(cap, dtype=jnp.int32)
+                    hk_c = jnp.where(slot < total, hk_c, pad_key)
+                    return ids_c, hk_c
+        ids, _ = filter_materialize(mask, cap)
         return ids, take_pad(hk_full, ids, pad_key)
 
     r_ids_kept, hk_r = push(r, r_pred, r_pred_col, jnp.int32(0x7FFFFFFF))
