@@ -54,22 +54,30 @@ def main():
     si = jax.device_put(jnp.arange(n, dtype=jnp.int32), shard)
 
     expected = n // 10 + n // 50   # ~10% match rate at this key domain
-    cap_r = round_up(2 * n + 64, 64)
-    cap_s = round_up(2 * n + 64, 64)
-    cap_res = round_up(2 * expected + 64, 64)
-    fn = make_shuffle_join_fn(mesh, cap_r, cap_s, cap_res)
+    # two capacity regimes: the driver's conservative default (2x slack —
+    # every downstream sort/kernel runs at double width) and a tuned
+    # production setting (1.1x — what a deployment with known row stats
+    # uses; the driver's overflow-retry makes undersizing safe anyway)
+    results = {}
+    for slack_name, slk in (("slack2.0", 2.0), ("slack1.1", 1.1)):
+        cap_r = round_up(int(slk * n) + 64, 64)
+        cap_s = round_up(int(slk * n) + 64, 64)
+        cap_res = round_up(int(slk * expected) + 64, 64)
+        fn = make_shuffle_join_fn(mesh, cap_r, cap_s, cap_res)
 
-    r_out, s_out, totals, ovf = fn(rk, ri, sk, si)
-    ovf_h = np.asarray(ovf)
-    assert (ovf_h[0] <= cap_r and ovf_h[1] <= cap_s
-            and ovf_h[2] <= cap_res), ovf_h
+        r_out, s_out, totals, ovf = fn(rk, ri, sk, si)
+        ovf_h = np.asarray(ovf)
+        assert (ovf_h[0] <= cap_r and ovf_h[1] <= cap_s
+                and ovf_h[2] <= cap_res), ovf_h
 
-    stat = time_fn(lambda: fn(rk, ri, sk, si)[3],
-                   name="dist_mesh1_device", rows=n, warmup=1, iters=3)
-    total = int(np.asarray(totals).sum())
-    print(f"mesh=1 distributed join (device-resident): {stat.seconds:.3f} s "
-          f"({n / stat.seconds / 1e6:.1f}M probe rows/s), result {total}",
-          flush=True)
+        stat = time_fn(lambda: fn(rk, ri, sk, si)[3],
+                       name=f"dist_mesh1_device[{slack_name}]", rows=n,
+                       warmup=1, iters=3)
+        total = int(np.asarray(totals).sum())
+        results[slack_name] = stat.seconds
+        print(f"mesh=1 distributed join (device-resident, {slack_name}): "
+              f"{stat.seconds:.3f} s ({n / stat.seconds / 1e6:.1f}M probe "
+              f"rows/s), result {total}", flush=True)
 
     # exact global count vs the host recompute; pair equality on a sample
     # (bulk readback over the tunnel is the one thing NOT measured here)
