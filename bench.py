@@ -242,13 +242,11 @@ def bench_join_dense(cfg: JoinConfig, verify: bool) -> dict:
     all_matched = nonzero == cfg.probe_rows
     rle_kw = {"all_matched": True} if all_matched else {}
     if not all_matched:
-        from tpujoin.kernels.compact import pick_out_step
+        from tpujoin.kernels.compact import pick_out_step, plan_fits
         cstep = pick_out_step(cfg.probe_rows, nonzero)
-        if cstep is not None:
-            *_, fits = mj_mod.probe_rle(ht, state, k_cap,
-                                        compact_step=cstep)
-            if bool(fits):
-                rle_kw = {"compact_step": cstep}
+        if cstep is not None and bool(
+                plan_fits(state.counts, k_cap, out_step=cstep)):
+            rle_kw = {"compact_step": cstep}
     eprint(f"rle compaction: {rle_kw or 'sort'}")
     rle_stat = time_fn(lambda: mj_mod.probe_rle(ht, state, k_cap,
                                                 **rle_kw)[:3],
@@ -261,8 +259,9 @@ def bench_join_dense(cfg: JoinConfig, verify: bool) -> dict:
     mat_stat = kernel = None
     if materializable:
         cap = round_up(total, 1 << 20)
-        kernel, mat = mj_mod.plan_materialize(ht, state, k_cap, cap,
-                                              total=total, nonzero=nonzero)
+        kernel, _, mat = mj_mod.plan_materialize(ht, state, k_cap, cap,
+                                                 total=total,
+                                                 nonzero=nonzero)
         mat_stat = time_fn(mat, name=f"materialize_pairs[{kernel}]",
                            rows=total, bytes_touched=cap * 8)
     for st in (build_stat, count_stat, rle_stat, mat_stat):
@@ -481,13 +480,11 @@ def bench_join(cfg: JoinConfig, verify: bool, engine: str = "v2") -> dict:
         # sort fallback otherwise — same policy as plan_materialize)
         cstep = None
         if 0 < nonzero < cfg.probe_rows:
-            from tpujoin.kernels.compact import pick_out_step
+            from tpujoin.kernels.compact import pick_out_step, plan_fits
             cstep = pick_out_step(cfg.probe_rows, nonzero)
-            if cstep is not None:
-                _, _, _, fits = mj_mod.probe_materialize(
-                    ht, state, k_cap, cap, compact_step=cstep)
-                if not bool(fits):
-                    cstep = None
+            if cstep is not None and not bool(
+                    plan_fits(state.counts, k_cap, out_step=cstep)):
+                cstep = None
         eprint(f"materialize compaction: "
                f"{'kernel/' + str(cstep) if cstep else 'sort'}")
         mat_stat = time_fn(

@@ -50,8 +50,8 @@ def main():
         total, nonzero = int(total_a), int(nonzero_a)
         cap = round_up(total, cfg.result_pad_multiple)
         k_cap = round_up(nonzero, max(cfg.result_pad_multiple // 8, 1024))
-        kname, mat = mj.plan_materialize(ht, state, k_cap, cap,
-                                         total=total, nonzero=nonzero)
+        kname, _, mat = mj.plan_materialize(ht, state, k_cap, cap,
+                                            total=total, nonzero=nonzero)
         # warm every executable outside the traced region
         _sync(mat())
         plans.append((name, bk, pk, ht, mat, kname))

@@ -100,6 +100,57 @@ def _rank_excl(flag_i32, roll):
     return lc - flag_i32 + rowoff
 
 
+def _plan(mi: jax.Array, k_cap: int, out_step: int, slab: int):
+    """Host-side (jitted) plan shared by every compaction entry point:
+    per-ALIGN-block match counts -> each grid step's slab offset ``r0``
+    (rows), base rank, total ``nonzero``, and the coverage flag ``fits``.
+    ``mi`` is the ALIGN-padded 0/1 i32 match mask. O(n/ALIGN) work — cheap
+    enough that plan_materialize calls it standalone as a fits predicate
+    BEFORE committing to the kernel (the full kernel still recomputes and
+    returns the same flag as the authoritative guard)."""
+    n_pad = mi.shape[0]
+    nb = n_pad // ALIGN
+    cblk = jnp.sum(mi.reshape(nb, ALIGN), axis=1)
+    csum = jnp.cumsum(cblk)
+    excl = csum - cblk
+    nonzero = csum[-1]
+
+    k_out = round_up(k_cap, out_step)
+    num_steps = k_out // out_step
+    starts = jnp.arange(num_steps, dtype=jnp.int32) * out_step
+    b0 = jnp.searchsorted(excl, starts, side="right",
+                          method="scan_unrolled").astype(jnp.int32) - 1
+    r0 = jnp.clip(jnp.clip(b0, 0, nb - 1) * ALIGN, 0, n_pad - slab)
+    base = jnp.take(excl, r0 // ALIGN)
+
+    # coverage: blocks [r0/ALIGN, b1) must hold every match this step
+    # emits; b1 = first block count reaching min(start + out_step,
+    # nonzero) matches, +1 block of slack for the searchsorted boundary
+    need = jnp.minimum(starts + out_step, nonzero)
+    b1 = jnp.searchsorted(csum, need, side="left",
+                          method="scan_unrolled").astype(jnp.int32) + 1
+    fits = jnp.all(jnp.where(starts < nonzero,
+                             b1 * ALIGN <= r0 + slab, True))
+    return r0, base, nonzero, fits
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k_cap", "out_step", "slab"))
+def plan_fits(cnt: jax.Array, k_cap: int, *,
+              out_step: int = OUT_STEPS[1], slab: int = SLAB) -> jax.Array:
+    """Standalone coverage predicate: would :func:`compact3` (or
+    :func:`compact_ids`) at these parameters cover every match of
+    ``cnt > 0``? Exactly the plan math the kernel entry points run —
+    O(n/1024), no Pallas launch — so drivers can pick the kernel-vs-sort
+    compaction path without paying a discarded full materialize
+    (ADVICE r3 #1)."""
+    n = cnt.shape[0]
+    n_pad = max(round_up(n, ALIGN), slab)
+    mi = jnp.pad((cnt > 0).astype(jnp.int32), (0, n_pad - n))
+    _, _, _, fits = _plan(mi, k_cap, out_step, slab)
+    return fits
+
+
 def _kernel(r0row_ref, base_ref, lim_ref,
             a_hbm, b_hbm, c_hbm, a_out, b_out, c_out,
             a_buf, b_buf, c_buf, sems, *, out_step: int, slab: int,
@@ -189,29 +240,10 @@ def compact3(
     cntp = jnp.pad(cnt, (0, npad))        # pad rows: cnt 0 -> dropped
     sidp = jnp.pad(sid, (0, npad))
 
-    nb = n_pad // ALIGN
-    cblk = jnp.sum((cntp > 0).reshape(nb, ALIGN).astype(jnp.int32), axis=1)
-    csum = jnp.cumsum(cblk)
-    excl = csum - cblk
-    nonzero = csum[-1]
-
+    r0, base, nonzero, fits = _plan(
+        (cntp > 0).astype(jnp.int32), k_cap, out_step, slab)
     k_out = round_up(k_cap, out_step)
     num_steps = k_out // out_step
-    starts = jnp.arange(num_steps, dtype=jnp.int32) * out_step
-    b0 = jnp.searchsorted(excl, starts, side="right",
-                          method="scan_unrolled").astype(jnp.int32) - 1
-    r0 = jnp.clip(jnp.clip(b0, 0, nb - 1) * ALIGN, 0, n_pad - slab)
-    base = jnp.take(excl, r0 // ALIGN)
-
-    # coverage: blocks [r0/ALIGN, b1) must hold every match this step
-    # emits; b1 = first block count reaching min(start + out_step,
-    # nonzero) matches, +1 block of slack for the searchsorted boundary
-    need = jnp.minimum(starts + out_step, nonzero)
-    b1 = jnp.searchsorted(csum, need, side="left",
-                          method="scan_unrolled").astype(jnp.int32) + 1
-    fits = jnp.all(jnp.where(starts < nonzero,
-                             b1 * ALIGN <= r0 + slab, True))
-
     lim = jnp.stack([nonzero])
     sr = slab // LANES
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -328,24 +360,9 @@ def compact_ids(
     n_pad = max(round_up(n, ALIGN), slab)
     mi = jnp.pad(mask.astype(jnp.int32), (0, n_pad - n))
 
-    nb = n_pad // ALIGN
-    cblk = jnp.sum(mi.reshape(nb, ALIGN), axis=1)
-    csum = jnp.cumsum(cblk)
-    excl = csum - cblk
-    nonzero = csum[-1]
-
+    r0, base, nonzero, fits = _plan(mi, k_cap, out_step, slab)
     k_out = round_up(k_cap, out_step)
     num_steps = k_out // out_step
-    starts = jnp.arange(num_steps, dtype=jnp.int32) * out_step
-    b0 = jnp.searchsorted(excl, starts, side="right",
-                          method="scan_unrolled").astype(jnp.int32) - 1
-    r0 = jnp.clip(jnp.clip(b0, 0, nb - 1) * ALIGN, 0, n_pad - slab)
-    base = jnp.take(excl, r0 // ALIGN)
-    need = jnp.minimum(starts + out_step, nonzero)
-    b1 = jnp.searchsorted(csum, need, side="left",
-                          method="scan_unrolled").astype(jnp.int32) + 1
-    fits = jnp.all(jnp.where(starts < nonzero,
-                             b1 * ALIGN <= r0 + slab, True))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

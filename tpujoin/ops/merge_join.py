@@ -350,13 +350,15 @@ def merge_join_rle(build_keys, probe_keys, *, row_pad_multiple: int = 1 << 16):
     if nonzero == m:
         kw = {"all_matched": True}
     elif jax.default_backend() != "cpu":
-        from tpujoin.kernels.compact import pick_out_step
+        from tpujoin.kernels.compact import pick_out_step, plan_fits
         cstep = pick_out_step(m, nonzero)
-        if cstep is not None:
-            *_, fits = probe_rle(ht, state, k_cap, compact_step=cstep)
-            if bool(fits):
-                kw = {"compact_step": cstep}
-    sid, lo, cnt, *_ = probe_rle(ht, state, k_cap, **kw)
+        if cstep is not None and bool(
+                plan_fits(state.counts, k_cap, out_step=cstep)):
+            kw = {"compact_step": cstep}
+    out = probe_rle(ht, state, k_cap, **kw)
+    if "compact_step" in kw and not bool(out[3]):
+        out = probe_rle(ht, state, k_cap)   # device-flag fallback
+    sid, lo, cnt = out[:3]
     return (np.asarray(sid[:nonzero]), np.asarray(lo[:nonzero]),
             np.asarray(cnt[:nonzero]), np.asarray(ht.sorted_ids))
 
@@ -439,11 +441,19 @@ def plan_materialize(
     nonzero: int,
     probe_base: int = 0,
 ):
-    """Resolve the fastest fitting materialize path for this workload and
-    return (name, fn) where fn() -> (r_ids, s_ids, total_dev). Probes each
-    kernel's static envelope (its ``fits`` flag) once, fastest first:
-    fill+periodic -> group-periodic (covers big periods) -> run-rotation
-    -> expand+take (always fits)."""
+    """Resolve the fastest fitting materialize path for this workload.
+    Returns (name, results, replay): ``results`` is the chosen path's
+    (r_ids, s_ids, total_dev) — already computed, NOT re-run (ADVICE r3
+    #1: the old (name, fn) contract made every driver pay the whole
+    materialize twice) — and ``replay()`` re-invokes the identical jitted
+    call for timing harnesses. Tries each kernel fastest-first, accepting
+    the first whose device ``fits`` flag holds: fill+periodic ->
+    group-periodic (covers big periods) -> run-rotation -> expand+take
+    (always fits). The compact-kernel-vs-sort compaction choice inside
+    the expand path is made with the cheap standalone coverage predicate
+    (kernels.compact.plan_fits, O(m/1024) block math) instead of a
+    discarded full run; the kernel's own fits flag remains the
+    authoritative guard."""
     all_matched = nonzero == state.counts.shape[0]
     if total >= nonzero * GROUPS_MIN_DUP:
         from tpujoin.kernels.expand_fill import SRC_SLABS as FILL_SLABS
@@ -453,23 +463,25 @@ def plan_materialize(
                  {"all_matched": all_matched}, FILL_SLABS),
                 ("groups", probe_materialize_groups, {}, GROUP_SLABS)):
             for slab in slabs:
-                _, _, _, fits = fn(ht, state, k_cap, capacity,
-                                   probe_base=probe_base, src_slab=slab,
-                                   **kw)
+                r_ids, s_ids, tot, fits = fn(
+                    ht, state, k_cap, capacity, probe_base=probe_base,
+                    src_slab=slab, **kw)
                 if bool(fits):
-                    return name, (lambda f=fn, s=slab, k=kw: f(
-                        ht, state, k_cap, capacity, probe_base=probe_base,
-                        src_slab=s, **k)[:3])
+                    return name, (r_ids, s_ids, tot), (
+                        lambda f=fn, s=slab, k=kw: f(
+                            ht, state, k_cap, capacity,
+                            probe_base=probe_base, src_slab=s, **k)[:3])
     if total >= nonzero * RUNS_MIN_DUP:
         from tpujoin.kernels.expand_runs import SRC_SLABS
         for slab in SRC_SLABS:
-            _, _, _, fits = probe_materialize_runs(
+            r_ids, s_ids, tot, fits = probe_materialize_runs(
                 ht, state, k_cap, capacity, probe_base=probe_base,
                 src_slab=slab)
             if bool(fits):
-                return "runs", (lambda s=slab: probe_materialize_runs(
-                    ht, state, k_cap, capacity, probe_base=probe_base,
-                    src_slab=s)[:3])
+                return "runs", (r_ids, s_ids, tot), (
+                    lambda s=slab: probe_materialize_runs(
+                        ht, state, k_cap, capacity, probe_base=probe_base,
+                        src_slab=s)[:3])
     # expand path: compact with the Pallas kernel instead of the 3-ary
     # sort when the host-known selectivity fits its coverage envelope
     # (the device fits flag guards local dips; sort fallback otherwise)
@@ -479,17 +491,25 @@ def plan_materialize(
     # mode probe would only add executables toward the XLA:CPU compile
     # budget — dedicated tests drive compact_step explicitly there)
     if 0 < nonzero < m and jax.default_backend() != "cpu":
-        from tpujoin.kernels.compact import pick_out_step
+        from tpujoin.kernels.compact import pick_out_step, plan_fits
         cstep = pick_out_step(m, nonzero)
-        if cstep is not None:
-            _, _, _, fits = probe_materialize(
-                ht, state, k_cap, capacity, probe_base=probe_base,
-                compact_step=cstep)
-            if not bool(fits):
-                cstep = None
-    return "expand", (lambda c=cstep: probe_materialize(
+        if cstep is not None and not bool(
+                plan_fits(state.counts, k_cap, out_step=cstep)):
+            cstep = None
+    r_ids, s_ids, tot, fits = probe_materialize(
         ht, state, k_cap, capacity, probe_base=probe_base,
-        compact_step=c)[:3])
+        compact_step=cstep)
+    if cstep is not None and not bool(fits):
+        # plan said cover, device disagreed (cannot happen while both run
+        # the same block math, but the kernel flag stays authoritative)
+        cstep = None
+        r_ids, s_ids, tot, fits = probe_materialize(
+            ht, state, k_cap, capacity, probe_base=probe_base,
+            compact_step=None)
+    return "expand", (r_ids, s_ids, tot), (
+        lambda c=cstep: probe_materialize(
+            ht, state, k_cap, capacity, probe_base=probe_base,
+            compact_step=c)[:3])
 
 
 def merge_join(
@@ -523,9 +543,9 @@ def merge_join(
             continue
         cap = round_up(total, result_pad_multiple)
         k_cap = round_up(nonzero, max(result_pad_multiple // 8, 1024))
-        _, mat = plan_materialize(ht, state, k_cap, cap, total=total,
-                                  nonzero=nonzero, probe_base=start)
-        r_ids, s_ids, _ = mat()
+        _, (r_ids, s_ids, _), _ = plan_materialize(
+            ht, state, k_cap, cap, total=total, nonzero=nonzero,
+            probe_base=start)
         out_r.append(np.asarray(r_ids[:total]))
         out_s.append(np.asarray(s_ids[:total]))
 

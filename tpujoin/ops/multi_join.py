@@ -35,7 +35,12 @@ def combined_key(table: Table, on: list[str]) -> jax.Array:
     """One i32 candidate key per row from the named key columns."""
     cols = [table[c] for c in on]
     if len(cols) == 1:
-        return cols[0].astype(jnp.int32)
+        # same sentinel-range clamp as the multi-column case: pushdown
+        # pads kept-buffer tails with 0x7FFFFFFE/0x7FFFFFFF, so a raw
+        # single-column key equal to either could otherwise match a pad
+        # slot (ADVICE r3 #3). Folding onto 0x7FFFFFFD only creates
+        # candidate collisions, which the exact post-filter removes.
+        return jnp.minimum(cols[0].astype(jnp.int32), jnp.int32(0x7FFFFFFD))
     h = hash32(cols[0].astype(jnp.int32))
     for c in cols[1:]:
         # Boost-style hash_combine: order-sensitive mix of successive columns
@@ -103,9 +108,9 @@ def hash_join_multi(
         return (e, e) if return_numpy else (jnp.asarray(e), jnp.asarray(e), 0)
     cap = round_up(total, result_pad_multiple)
     k_cap = round_up(nonzero, max(result_pad_multiple // 8, 1024))
-    _, mat = mj.plan_materialize(ht, state, k_cap, cap, total=total,
-                                 nonzero=nonzero)
-    cand_r, cand_s, _ = mat()   # device, pad slots = -1 (dropped below)
+    _, (cand_r, cand_s, _), _ = mj.plan_materialize(
+        ht, state, k_cap, cap, total=total, nonzero=nonzero)
+    # device arrays, pad slots = -1 (dropped below)
     r_cols = tuple(r[c] for c in on)
     s_cols = tuple(s[c] for c in on)
     out_r, out_s, total2_a = _exact_filter(r_cols, s_cols, cand_r, cand_s,
@@ -188,10 +193,14 @@ def join_with_pushdown(
                 hk_c, ids_c, fits = push_kernel(hk_full, mask, cap, cstep)
                 if bool(fits):
                     # compact3 zero-pads the tail and 0 is a legal hash
-                    # key: repaint pads with the per-side sentinel so tail
-                    # slots can never join (not even with each other)
+                    # key / row id: repaint pad keys with the per-side
+                    # sentinel so tail slots can never join (not even
+                    # with each other), and pad ids with -1 so a matched
+                    # pad could never remap to original row 0 (ADVICE r3
+                    # #3 — belt and braces with the sentinel repaint)
                     slot = jnp.arange(cap, dtype=jnp.int32)
                     hk_c = jnp.where(slot < total, hk_c, pad_key)
+                    ids_c = jnp.where(slot < total, ids_c, -1)
                     return ids_c, hk_c
         ids, _ = filter_materialize(mask, cap)
         return ids, take_pad(hk_full, ids, pad_key)
@@ -212,9 +221,8 @@ def join_with_pushdown(
                                             0)
     cap2 = round_up(total_c, result_pad_multiple)
     k_cap = round_up(nonzero, max(result_pad_multiple // 8, 1024))
-    _, mat = mj.plan_materialize(ht, state, k_cap, cap2, total=total_c,
-                                 nonzero=nonzero)
-    cand_r, cand_s, _ = mat()
+    _, (cand_r, cand_s, _), _ = mj.plan_materialize(
+        ht, state, k_cap, cap2, total=total_c, nonzero=nonzero)
     # kept-position -> original-row ids, O(result)
     cand_r = take_pad(r_ids_kept, cand_r, jnp.int32(-1))
     cand_s = take_pad(s_ids_kept, cand_s, jnp.int32(-1))
