@@ -85,12 +85,22 @@ def main():
 
     base = results[0]["rows_per_sec_per_device"]
     eff = results[-1]["rows_per_sec_per_device"] / base if base else 0.0
-    print(json.dumps({
+    summary = {
         "metric": "shuffle_join_weak_scaling_efficiency",
         "value": eff,
         "unit": f"frac (1->{mesh_sizes[-1]} devices)",
-        "vs_baseline": eff / 0.7,   # BASELINE.json target: >= 70%
-    }))
+    }
+    if args.emulate:
+        # N virtual devices time-share 2 host cores: wall-clock efficiency
+        # here measures host contention, not the algorithm. The honest
+        # emulated artifact is oracle=1 at every mesh size; suppress the
+        # vs-target ratio so this line cannot be misquoted (VERDICT r3
+        # weak #7).
+        summary["environment"] = "emulated-cpu-contention-bound"
+        summary["vs_baseline"] = None
+    else:
+        summary["vs_baseline"] = eff / 0.7   # BASELINE.json target: >= 70%
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -54,21 +54,30 @@ def main():
     si = jax.device_put(jnp.arange(n, dtype=jnp.int32), shard)
 
     expected = n // 10 + n // 50   # ~10% match rate at this key domain
-    # two capacity regimes: the driver's conservative default (2x slack —
-    # every downstream sort/kernel runs at double width) and a tuned
-    # production setting (1.1x — what a deployment with known row stats
-    # uses; the driver's overflow-retry makes undersizing safe anyway)
+    # two capacity regimes: the driver's default (1.25x slack — splitter
+    # partitioning balances rows to ~1%, so the old 2x hash-partition
+    # default is obsolete) and a tuned production setting (1.05x — what a
+    # deployment with known row stats uses; the driver's overflow-retry
+    # makes undersizing safe anyway). Local compaction runs on the Pallas
+    # stream-compaction kernel picked from the expected selectivity, with
+    # the psum'd coverage flag asserted (sort fallback is the driver's
+    # job; this capture documents the fast path).
+    from tpujoin.parallel.shuffle_join import local_compact_step
+
     results = {}
-    for slack_name, slk in (("slack2.0", 2.0), ("slack1.1", 1.1)):
+    for slack_name, slk in (("slack1.25", 1.25), ("slack1.05", 1.05)):
         cap_r = round_up(int(slk * n) + 64, 64)
         cap_s = round_up(int(slk * n) + 64, 64)
         cap_res = round_up(int(slk * expected) + 64, 64)
-        fn = make_shuffle_join_fn(mesh, cap_r, cap_s, cap_res)
+        cstep = local_compact_step(cap_s, expected)
+        fn = make_shuffle_join_fn(mesh, cap_r, cap_s, cap_res,
+                                  compact_step=cstep)
 
         r_out, s_out, totals, ovf = fn(rk, ri, sk, si)
         ovf_h = np.asarray(ovf)
         assert (ovf_h[0] <= cap_r and ovf_h[1] <= cap_s
                 and ovf_h[2] <= cap_res), ovf_h
+        assert ovf_h[3] == 1, f"compaction coverage miss {ovf_h}"
 
         stat = time_fn(lambda: fn(rk, ri, sk, si)[3],
                        name=f"dist_mesh1_device[{slack_name}]", rows=n,

@@ -1,0 +1,86 @@
+"""Multi-PROCESS execution test (SURVEY §4's pjrt-level prescription):
+two local CPU-backend processes join a jax.distributed cluster over a
+localhost coordinator, build the global mesh via
+tpujoin.parallel.multihost, and run one real shuffle-join step whose
+exact global count is checked against numpy. Each worker also verifies
+its addressable shards' pairs key-by-key.
+
+Skip-gated: if this jaxlib's distributed runtime refuses to initialize
+on the CPU backend, the test skips with the worker's exact error.
+"""
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.timeout(240)
+def test_two_process_shuffle_join(tmp_path):
+    nproc = 2
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # scrub any parent xdist/jax settings that could pin the platform
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(_REPO, "tests",
+                                          "multihost_worker.py"),
+             str(pid), str(nproc), str(port), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in range(nproc)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=200)
+            outs.append((p.returncode, out.decode(errors="replace"),
+                         err.decode(errors="replace")))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    results = []
+    for pid in range(nproc):
+        path = tmp_path / f"worker_{pid}.json"
+        if not path.exists():
+            pytest.skip("distributed runtime produced no worker output: "
+                        f"rc={outs[pid][0]} stderr tail: "
+                        f"{outs[pid][2][-500:]}")
+        results.append(json.loads(path.read_text()))
+
+    for pid, res in enumerate(results):
+        if not res.get("ok"):
+            err = res.get("error", "")
+            # an environment refusal (runtime unsupported / ports blocked)
+            # is a skip; an engine assertion is a failure
+            if "AssertionError" in err and "pair mismatch" in err:
+                pytest.fail(f"worker {pid} pair verification failed: {err}")
+            pytest.skip(f"distributed init refused on this runtime: {err}")
+        assert res["process_count"] == nproc
+
+    rows_per_dev = 64
+    n = rows_per_dev * 2 * nproc
+    rng = np.random.default_rng(0)
+    rk = rng.integers(1, 64, n).astype(np.int32)
+    sk = rng.integers(1, 64, n).astype(np.int32)
+    srk = np.sort(rk)
+    expected = int((np.searchsorted(srk, sk, "right")
+                    - np.searchsorted(srk, sk, "left")).sum())
+    got = sum(r["local_total"] for r in results)
+    assert got == expected, f"global count {got} != {expected}"

@@ -390,6 +390,32 @@ def compact_ids(
     return ids2.reshape(k_out)[:k_cap], nonzero, fits
 
 
+MAX_SLAB = 262144     # 3 slabs x 1 MB VMEM at i32; plenty below ~16 MB
+
+
+def pick_out_config(n: int, nonzero: int,
+                    *, max_slab: int = MAX_SLAB) -> tuple[int, int] | None:
+    """(out_step, slab) minimizing the kernel's wasted work across the
+    selectivity range. The fixed-slab :func:`pick_out_step` is tuned for
+    ~10% selectivity; at high selectivity (e.g. a 50% filter pushdown)
+    its 65536-row slab covers a ~16k-row span, so every step re-reads and
+    re-shifts 4x the useful data. Here the slab is sized to the covering
+    span of the largest affordable out_step instead: per-element work ~
+    (slab/out)*log2(slab) with slab/out >= COVER_SLACK/sel, so the waste
+    factor stays ~COVER_SLACK at every selectivity (measured design table:
+    exp/compact_hisel.py / docs/ROOFLINE.md). Returns None when no config
+    covers (extremely low selectivity — the caller keeps the sort)."""
+    if nonzero <= 0:
+        return None
+    sel = nonzero / n
+    for out in (16384, 8192, 4096, 2048, 1024):
+        need = int(out * COVER_SLACK / sel) + 3 * ALIGN
+        slab = round_up(max(need, out + 2 * ALIGN), ALIGN)
+        if slab <= max_slab:
+            return out, slab
+    return None
+
+
 def pick_out_step(n: int, nonzero: int, *, slab: int = SLAB) -> int | None:
     """Largest OUT whose mean covering span fits the slab with
     COVER_SLACK headroom, or None when even the smallest doesn't (the

@@ -25,6 +25,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -36,7 +37,7 @@ SLAB = 2 * ALIGN         # row slab per sub-tile (aligned superset of rows)
 STRIP = 512              # compare-strip width (caps [TILE, STRIP] temps)
 BATCH = 4                # sub-tiles per grid step: amortizes grid overhead
                          # and overlaps slab DMAs with earlier compute
-PAD_OFF = jnp.int32(0x7FFFFFFF)
+PAD_OFF = np.int32(0x7FFFFFFF)
 
 
 def _kernel(r0_ref, off_hbm, lo_hbm, sid_hbm, bpos_ref, sid_ref,

@@ -40,6 +40,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -58,7 +59,7 @@ SEED_ROWS = 16       # initial image rows (2048 elements >= NBMAX)
 GMETA = 2048         # group-metadata slab (SMEM) per step
 SRC_SLABS = (4096, 16384)   # source slab escalation
 ALIGN = 1024         # HBM i32 DMA offset/size granule
-BIG = jnp.int32(0x7FFFFFFF)
+BIG = np.int32(0x7FFFFFFF)
 
 
 def _psize(step: int) -> int:

@@ -33,6 +33,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -41,7 +42,7 @@ from tpujoin.utils.shapes import cdiv, round_up
 TILE = 1024        # probe keys per grid step
 CHUNK = 1024       # build keys per DMA
 SUB = 512          # compare-slab rows per step (caps the [SUB, TILE] temps)
-PAD_KEY = jnp.int32(0x7FFFFFFF)
+PAD_KEY = np.int32(0x7FFFFFFF)
 
 
 MSLAB = 1024       # per-tile metadata slab (big-m path): entries DMA'd

@@ -243,6 +243,27 @@ def hash_join(
     return jnp.asarray(r), jnp.asarray(s)
 
 
+def hash_join_rle(build_keys, probe_keys):
+    """v1 factorized (RLE) join result: (probe_ids, lo, cnt, sorted_ids)
+    where the expansion of row r is pairs (sorted_ids[lo[r]+j],
+    probe_ids[r]) for j < cnt[r].
+
+    For the v1 (searchsorted) engine this is FREE beyond the count phase:
+    probe_count's (lo, counts) in probe order IS the run-length result —
+    no expansion, no gather, sidestepping the ~73M idx/s element-gather
+    floor that binds v1's dense materialize on 1B-pair configs (the same
+    move the reference's count kernel makes by returning only the result
+    SIZE without materializing, join_v1.mlir:140-146). The v2 analogue is
+    ops.merge_join.merge_join_rle."""
+    build_keys = jnp.asarray(build_keys)
+    probe_keys = jnp.asarray(probe_keys)
+    ht = build(build_keys)
+    lo, counts = probe_count(ht, probe_keys)
+    m = int(probe_keys.shape[0])
+    return (np.arange(m, dtype=np.int32), np.asarray(lo),
+            np.asarray(counts), np.asarray(ht.sorted_ids))
+
+
 @functools.partial(jax.jit, static_argnames=("capacity",))
 def hash_join_device(build_keys, probe_keys, capacity: int):
     """Single-jit fixed-capacity join: build + count + materialize fused.

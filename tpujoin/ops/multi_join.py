@@ -151,7 +151,7 @@ def join_with_pushdown(
     static widths, padded with per-side sentinel keys above the candidate
     range (combined_key caps real keys at 0x7FFFFFFD) so pads never match
     anything — including each other."""
-    from tpujoin.kernels.compact import pick_out_step
+    from tpujoin.kernels.compact import pick_out_config
     from tpujoin.ops import merge_join as mj
     from tpujoin.ops.filter import (filter_count, filter_materialize,
                                     filter_materialize_kernel)
@@ -165,17 +165,20 @@ def join_with_pushdown(
         hk = jnp.take(full, jnp.clip(ids, 0, full.shape[0] - 1))
         return jnp.where(valid, hk, pad_key)
 
-    @functools.partial(jax.jit, static_argnames=("cap", "cstep"))
-    def push_kernel(hk_full, mask, cap, cstep):
+    @functools.partial(jax.jit, static_argnames=("cap", "cstep", "slab"))
+    def push_kernel(hk_full, mask, cap, cstep, slab):
         """Compact (candidate key, row id) by the predicate mask in ONE
         stream-compaction kernel pass — no O(kept) key gather at all
         (the measured 73M idx/s gather on ~50M kept rows costs more than
-        the whole compaction)."""
+        the whole compaction). The (out_step, slab) pair is selectivity-
+        tuned: at the ~50% selectivity of a pushdown predicate the fixed
+        65536 slab wastes 4x DMA+VPU work per step (measured,
+        exp/compact_hisel.py)."""
         from tpujoin.kernels.compact import compact3
 
         ids = jnp.arange(hk_full.shape[0], dtype=jnp.int32)
         hk_c, _, ids_c, fits = compact3(hk_full, mask.astype(jnp.int32),
-                                        ids, cap, out_step=cstep)
+                                        ids, cap, out_step=cstep, slab=slab)
         return hk_c, ids_c, fits
 
     def push(table: Table, pred, col, pad_key):
@@ -188,9 +191,9 @@ def join_with_pushdown(
             return None, None
         cap = round_up(total, result_pad_multiple)
         if jax.default_backend() != "cpu":
-            cstep = pick_out_step(table.num_rows, total)
-            if cstep is not None:
-                hk_c, ids_c, fits = push_kernel(hk_full, mask, cap, cstep)
+            cfg = pick_out_config(table.num_rows, total)
+            if cfg is not None:
+                hk_c, ids_c, fits = push_kernel(hk_full, mask, cap, *cfg)
                 if bool(fits):
                     # compact3 zero-pads the tail and 0 is a legal hash
                     # key / row id: repaint pad keys with the per-side

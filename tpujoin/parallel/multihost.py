@@ -11,16 +11,19 @@ On Cloud TPU the coordinator/process-id/process-count arguments are
 discovered from the environment automatically; elsewhere pass them
 explicitly. Single-host (or emulated CPU) setups skip initialize entirely.
 
-This machine has one chip, so the multi-process path cannot run here; the
-identical collective program is validated on an emulated 8-device CPU mesh
-(tests/test_dist.py, tests/test_skew.py) and by the driver's
-``dryrun_multichip``.
+This machine has one chip, so a multi-HOST pod cannot run here; the
+multi-PROCESS runtime is exercised for real by tests/test_multihost.py
+(two local processes, CPU backend, localhost coordinator) driving
+``initialize`` + ``make_global_mesh`` + one shuffle-join step with an
+exact-count check, and the collective programs are further validated on
+an emulated 8-device CPU mesh (tests/test_dist.py, tests/test_skew.py)
+and by the driver's ``dryrun_multichip``.
 """
 from __future__ import annotations
 
 import jax
 import numpy as np
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from tpujoin.parallel.mesh import ROW_AXIS
 
@@ -50,3 +53,15 @@ def make_global_mesh() -> Mesh:
 
 def is_multiprocess() -> bool:
     return jax.process_count() > 1
+
+
+def put_row_sharded(arr: np.ndarray, mesh: Mesh) -> jax.Array:
+    """Row-shard a host-replicated numpy array over a (possibly
+    multi-process) mesh. ``jax.device_put`` can only target the calling
+    process's addressable devices, so the single-host drivers' put is NOT
+    multi-process-safe; this builds the global array shard-by-shard via
+    ``make_array_from_callback`` — every process materializes exactly its
+    addressable slices of the same host-replicated input."""
+    sharding = NamedSharding(mesh, PartitionSpec(ROW_AXIS))
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])

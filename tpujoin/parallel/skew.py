@@ -192,8 +192,8 @@ def make_skew_join_fn(
         pk = jnp.concatenate([sbk.reshape(-1), srk_g])
         pi = jnp.concatenate([sbi.reshape(-1), sri_g])
 
-        r_out, s_out, local_total = _local_join(bk, bi, pk, pi,
-                                                local_result_cap)
+        r_out, s_out, local_total, _cfits = _local_join(bk, bi, pk, pi,
+                                                        local_result_cap)
         ovf = jnp.stack([
             jax.lax.pmax(r_max, ROW_AXIS),
             jax.lax.pmax(s_max, ROW_AXIS),
