@@ -45,7 +45,7 @@ def _variants(sel: float):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=100_000_000)
-    ap.add_argument("--sel", type=float, nargs="+", default=[0.5, 0.095])
+    ap.add_argument("--sel", type=float, nargs="+", default=[0.095, 0.5])
     args = ap.parse_args()
     n = args.rows
 
@@ -64,9 +64,15 @@ def main():
         exp_pay = np.asarray(payload)[exp_ids]
         print(f"--- sel {sel} (kept {kept}) ---", flush=True)
 
+        # NOTE every jitted fn takes the big arrays as ARGUMENTS — a jit
+        # over a closure would embed the 100M-element arrays as HLO
+        # constants and crash the remote compile tunnel (observed: broken
+        # pipe at exactly this call).
+        import functools
+
         # sort1 + payload gather (the old pushdown fallback shape)
-        @jax.jit
-        def sort1(mask=mask, cap=cap):
+        @functools.partial(jax.jit, static_argnames=("cap",))
+        def sort1(mask, payload, cap):
             from tpujoin.ops.filter import filter_materialize
             out_ids, total = filter_materialize(mask, cap)
             safe = jnp.clip(out_ids, 0, n - 1)
@@ -74,8 +80,8 @@ def main():
             return out_ids, pay, total
 
         # sort2: payload rides the sort, no gather
-        @jax.jit
-        def sort2(mask=mask, cap=cap):
+        @functools.partial(jax.jit, static_argnames=("cap",))
+        def sort2(mask, payload, ids, cap):
             packed = jnp.where(mask, ids, ids + jnp.int32(1 << 30))
             sp, pay_s = jax.lax.sort((packed, payload), num_keys=1)
             sp = jax.lax.slice_in_dim(sp, 0, cap)
@@ -87,9 +93,10 @@ def main():
             pay = jnp.where(t < total, pay_s, -1)
             return out_ids, pay, total
 
-        runs = [("sort1+gather", sort1), ("sort2", sort2)]
+        runs = [("sort1+gather", lambda: sort1(mask, payload, cap)),
+                ("sort2", lambda: sort2(mask, payload, ids, cap))]
         for name, out_step, slab in _variants(sel):
-            def krun(out_step=out_step, slab=slab, mask=mask, cap=cap):
+            def krun(out_step=out_step, slab=slab):
                 return ck.compact3(payload, mask.astype(jnp.int32), ids,
                                    cap, out_step=out_step, slab=slab)
             runs.append((name, krun))

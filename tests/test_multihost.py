@@ -28,7 +28,6 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(240)
 def test_two_process_shuffle_join(tmp_path):
     nproc = 2
     port = _free_port()

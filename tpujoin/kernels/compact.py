@@ -390,7 +390,10 @@ def compact_ids(
     return ids2.reshape(k_out)[:k_cap], nonzero, fits
 
 
-MAX_SLAB = 262144     # 3 slabs x 1 MB VMEM at i32; plenty below ~16 MB
+MAX_SLAB = 131072     # the staged-shift loop keeps ~16 live slab-sized
+                      # i32 temporaries in VMEM: 131072 rows x 4 B x ~16
+                      # ~= 8 MB fits the 16 MB scoped limit; 227k rows
+                      # measured-OOMs it (exp/compact_hisel.py)
 
 
 def pick_out_config(n: int, nonzero: int,

@@ -30,6 +30,13 @@ from tpujoin.ops.filter import filter_materialize
 from tpujoin.ops.radix import hash32
 from tpujoin.utils.shapes import round_up
 
+# Pushdown compaction policy (measured, exp/compact_hisel.py @100M TPU):
+# the selectivity-tuned stream-compaction kernel wins at EVERY measured
+# selectivity — 0.249 s at 50% (vs 0.635 s for the packed 2-operand sort
+# and 1.63 s for sort+gather) and 0.228 s at 9.5% — so the kernel is
+# always preferred when pick_out_config covers; the 2-operand packed
+# sort (payload rides the sort, no gather) is the structural fallback.
+
 
 def combined_key(table: Table, on: list[str]) -> jax.Array:
     """One i32 candidate key per row from the named key columns."""
@@ -70,6 +77,91 @@ def _exact_filter(r_cols, s_cols, cand_r, cand_s, capacity: int, num_cols: int):
     out_r = jnp.where(keep, jnp.take(cand_r, sel), -1)
     out_s = jnp.where(keep, jnp.take(cand_s, sel), -1)
     return out_r, out_s, total
+
+
+@jax.jit
+def _take_pad(full, ids, pad_key):
+    """full[ids] with ids < 0 mapped to ``pad_key`` (O(result) gather)."""
+    valid = ids >= 0
+    hk = jnp.take(full, jnp.clip(ids, 0, full.shape[0] - 1))
+    return jnp.where(valid, hk, pad_key)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _push_sort2(hk_full, mask, cap, pad_key):
+    """Compact (candidate key, row id) by ONE 2-operand sort: the fail
+    bit packed above the id is the sort key, the candidate key rides as
+    payload — no O(kept) gather (measured ~73M idx/s) and flat cost in
+    selectivity (one keyval sort, 0.64 s at 100M). The structural
+    fallback when pick_out_config has no covering slab or the kernel's
+    fits flag misses; the tuned kernel beats it 2.5x+ at every measured
+    selectivity (exp/compact_hisel.py)."""
+    n = hk_full.shape[0]
+    ids = jnp.arange(n, dtype=jnp.int32)
+    packed = jnp.where(mask, ids, ids + jnp.int32(1 << 30))
+    sp, hk_s = jax.lax.sort((packed, hk_full), num_keys=1)
+    total = jnp.sum(mask.astype(jnp.int32))
+    if cap <= n:
+        sp = jax.lax.slice_in_dim(sp, 0, cap)
+        hk_s = jax.lax.slice_in_dim(hk_s, 0, cap)
+    else:
+        sp = jnp.pad(sp, (0, cap - n), constant_values=np.int32(1 << 30))
+        hk_s = jnp.pad(hk_s, (0, cap - n))
+    t = jnp.arange(cap, dtype=jnp.int32)
+    ids_c = jnp.where(t < total, sp & jnp.int32((1 << 30) - 1), -1)
+    hk_c = jnp.where(t < total, hk_s, pad_key)
+    return ids_c, hk_c
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "cstep", "slab"))
+def _push_kernel(hk_full, mask, cap, cstep, slab):
+    """Compact (candidate key, row id) by the predicate mask in ONE
+    stream-compaction kernel pass — no O(kept) key gather at all (the
+    measured 73M idx/s gather on ~50M kept rows costs more than the whole
+    compaction). The (out_step, slab) pair is selectivity-tuned: at the
+    ~50% selectivity of a pushdown predicate the fixed 65536 slab wastes
+    4x DMA+VPU work per step (measured, exp/compact_hisel.py)."""
+    from tpujoin.kernels.compact import compact3
+
+    ids = jnp.arange(hk_full.shape[0], dtype=jnp.int32)
+    hk_c, _, ids_c, fits = compact3(hk_full, mask.astype(jnp.int32),
+                                    ids, cap, out_step=cstep, slab=slab)
+    return hk_c, ids_c, fits
+
+
+def _push(table: Table, pred, col, pad_key, on, result_pad_multiple):
+    """One side's pushdown: (kept_row_ids, candidate_keys) at bucketed
+    static width, tail slots sentinel-keyed / id -1 so pads never join."""
+    from tpujoin.kernels.compact import pick_out_config
+    from tpujoin.ops.filter import filter_count, filter_materialize
+
+    hk_full = combined_key(table, on)
+    if pred is None:
+        return jnp.arange(table.num_rows, dtype=jnp.int32), hk_full
+    mask = pred(table[col])
+    total = int(filter_count(mask))
+    if total == 0:
+        return None, None
+    cap = round_up(total, result_pad_multiple)
+    if jax.default_backend() != "cpu":
+        cfg = pick_out_config(table.num_rows, total)
+        if cfg is not None:
+            hk_c, ids_c, fits = _push_kernel(hk_full, mask, cap, *cfg)
+            if bool(fits):
+                # compact3 zero-pads the tail and 0 is a legal hash key /
+                # row id: repaint pad keys with the per-side sentinel so
+                # tail slots can never join (not even with each other),
+                # and pad ids with -1 so a matched pad could never remap
+                # to original row 0 (ADVICE r3 #3 — belt and braces with
+                # the sentinel repaint)
+                slot = jnp.arange(cap, dtype=jnp.int32)
+                hk_c = jnp.where(slot < total, hk_c, pad_key)
+                ids_c = jnp.where(slot < total, ids_c, -1)
+                return ids_c, hk_c
+    if table.num_rows < (1 << 30):
+        return _push_sort2(hk_full, mask, cap, pad_key)
+    ids, _ = filter_materialize(mask, cap)
+    return ids, _take_pad(hk_full, ids, pad_key)
 
 
 def hash_join_multi(
@@ -150,66 +242,22 @@ def join_with_pushdown(
     the un-pushed join at 100M rows.) Kept buffers stay at bucketed
     static widths, padded with per-side sentinel keys above the candidate
     range (combined_key caps real keys at 0x7FFFFFFD) so pads never match
-    anything — including each other."""
-    from tpujoin.kernels.compact import pick_out_config
+    anything — including each other.
+
+    All jitted helpers live at MODULE level: nested ``@jax.jit`` defs are
+    fresh function objects per driver call, so every invocation would
+    recompile its whole graph set — measured 33 s/call vs the 2.3 s of
+    actual device work (exp/pushdown_profile.py; the round-3 "pushdown
+    slower than the join" inversion was exactly this)."""
     from tpujoin.ops import merge_join as mj
-    from tpujoin.ops.filter import (filter_count, filter_materialize,
-                                    filter_materialize_kernel)
 
     if isinstance(on, str):
         on = [on]
 
-    @jax.jit
-    def take_pad(full, ids, pad_key):
-        valid = ids >= 0
-        hk = jnp.take(full, jnp.clip(ids, 0, full.shape[0] - 1))
-        return jnp.where(valid, hk, pad_key)
-
-    @functools.partial(jax.jit, static_argnames=("cap", "cstep", "slab"))
-    def push_kernel(hk_full, mask, cap, cstep, slab):
-        """Compact (candidate key, row id) by the predicate mask in ONE
-        stream-compaction kernel pass — no O(kept) key gather at all
-        (the measured 73M idx/s gather on ~50M kept rows costs more than
-        the whole compaction). The (out_step, slab) pair is selectivity-
-        tuned: at the ~50% selectivity of a pushdown predicate the fixed
-        65536 slab wastes 4x DMA+VPU work per step (measured,
-        exp/compact_hisel.py)."""
-        from tpujoin.kernels.compact import compact3
-
-        ids = jnp.arange(hk_full.shape[0], dtype=jnp.int32)
-        hk_c, _, ids_c, fits = compact3(hk_full, mask.astype(jnp.int32),
-                                        ids, cap, out_step=cstep, slab=slab)
-        return hk_c, ids_c, fits
-
-    def push(table: Table, pred, col, pad_key):
-        hk_full = combined_key(table, on)
-        if pred is None:
-            return jnp.arange(table.num_rows, dtype=jnp.int32), hk_full
-        mask = pred(table[col])
-        total = int(filter_count(mask))
-        if total == 0:
-            return None, None
-        cap = round_up(total, result_pad_multiple)
-        if jax.default_backend() != "cpu":
-            cfg = pick_out_config(table.num_rows, total)
-            if cfg is not None:
-                hk_c, ids_c, fits = push_kernel(hk_full, mask, cap, *cfg)
-                if bool(fits):
-                    # compact3 zero-pads the tail and 0 is a legal hash
-                    # key / row id: repaint pad keys with the per-side
-                    # sentinel so tail slots can never join (not even
-                    # with each other), and pad ids with -1 so a matched
-                    # pad could never remap to original row 0 (ADVICE r3
-                    # #3 — belt and braces with the sentinel repaint)
-                    slot = jnp.arange(cap, dtype=jnp.int32)
-                    hk_c = jnp.where(slot < total, hk_c, pad_key)
-                    ids_c = jnp.where(slot < total, ids_c, -1)
-                    return ids_c, hk_c
-        ids, _ = filter_materialize(mask, cap)
-        return ids, take_pad(hk_full, ids, pad_key)
-
-    r_ids_kept, hk_r = push(r, r_pred, r_pred_col, jnp.int32(0x7FFFFFFF))
-    s_ids_kept, hk_s = push(s, s_pred, s_pred_col, jnp.int32(0x7FFFFFFE))
+    r_ids_kept, hk_r = _push(r, r_pred, r_pred_col,
+                             np.int32(0x7FFFFFFF), on, result_pad_multiple)
+    s_ids_kept, hk_s = _push(s, s_pred, s_pred_col,
+                             np.int32(0x7FFFFFFE), on, result_pad_multiple)
     if hk_r is None or hk_s is None:
         e = np.empty(0, np.int32)
         return (e, e) if return_numpy else (jnp.asarray(e), jnp.asarray(e),
@@ -227,8 +275,8 @@ def join_with_pushdown(
     _, (cand_r, cand_s, _), _ = mj.plan_materialize(
         ht, state, k_cap, cap2, total=total_c, nonzero=nonzero)
     # kept-position -> original-row ids, O(result)
-    cand_r = take_pad(r_ids_kept, cand_r, jnp.int32(-1))
-    cand_s = take_pad(s_ids_kept, cand_s, jnp.int32(-1))
+    cand_r = _take_pad(r_ids_kept, cand_r, np.int32(-1))
+    cand_s = _take_pad(s_ids_kept, cand_s, np.int32(-1))
     r_cols = tuple(r[c] for c in on)
     s_cols = tuple(s[c] for c in on)
     out_r, out_s, total2_a = _exact_filter(r_cols, s_cols, cand_r, cand_s,
