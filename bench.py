@@ -259,9 +259,12 @@ def bench_join_dense(cfg: JoinConfig, verify: bool) -> dict:
     mat_stat = kernel = None
     if materializable:
         cap = round_up(total, 1 << 20)
-        kernel, _, mat = mj_mod.plan_materialize(ht, state, k_cap, cap,
-                                                 total=total,
-                                                 nonzero=nonzero)
+        kernel, plan_res, mat = mj_mod.plan_materialize(ht, state, k_cap,
+                                                        cap, total=total,
+                                                        nonzero=nonzero)
+        # free the plan's result buffers before timing the replay: at 1B
+        # pairs each (r_ids, s_ids) set is ~8 GB and two live sets OOM HBM
+        del plan_res
         mat_stat = time_fn(mat, name=f"materialize_pairs[{kernel}]",
                            rows=total, bytes_touched=cap * 8)
     for st in (build_stat, count_stat, rle_stat, mat_stat):

@@ -49,16 +49,18 @@ def main():
     jax.block_until_ready((keys, ids))
     exp_sorted = np.sort(np.asarray(keys))
 
+    # big arrays are ARGUMENTS, never jit-closure constants (an embedded
+    # 100M-element HLO constant kills the remote compile tunnel)
     @jax.jit
-    def kv_stable():
+    def kv_stable(keys, ids):
         return jax.lax.sort((keys, ids), num_keys=1)
 
     @jax.jit
-    def kv_unstable():
+    def kv_unstable(keys, ids):
         return jax.lax.sort((keys, ids), num_keys=1, is_stable=False)
 
     @jax.jit
-    def packed_i64():
+    def packed_i64(keys, ids):
         with jax.enable_x64(True):
             p = (keys.astype(jnp.int64) << 32) | ids.astype(jnp.int64)
             sp = jax.lax.sort(p, is_stable=False)
@@ -66,7 +68,7 @@ def main():
                    (sp & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
 
     @jax.jit
-    def keys_only():
+    def keys_only(keys):
         return jax.lax.sort(keys)
 
     keys2 = jnp.concatenate([keys, keys[::-1]])
@@ -74,12 +76,15 @@ def main():
     jax.block_until_ready((keys2, ids2))
 
     @jax.jit
-    def concat_2x():
+    def concat_2x(keys2, ids2):
         return jax.lax.sort((keys2, ids2), num_keys=1)
 
-    for name, fn in (("kv_stable", kv_stable), ("kv_unstable", kv_unstable),
-                     ("packed_i64", packed_i64), ("keys_only", keys_only),
-                     ("concat_2x", concat_2x)):
+    for name, fn in (
+            ("kv_stable", lambda: kv_stable(keys, ids)),
+            ("kv_unstable", lambda: kv_unstable(keys, ids)),
+            ("packed_i64", lambda: packed_i64(keys, ids)),
+            ("keys_only", lambda: keys_only(keys)),
+            ("concat_2x", lambda: concat_2x(keys2, ids2))):
         out = fn()
         k_out = np.asarray(out[0] if isinstance(out, tuple) else out)
         if name == "concat_2x":

@@ -201,7 +201,8 @@ def test_pipeline_parity_with_expand_take(dup):
 
 def test_all_matched_fast_path():
     """When every probe row matches, all_matched=True skips the
-    compaction sort and must produce identical output."""
+    compaction sort and must produce the identical pair MULTISET (the
+    sort path may order ties differently — its sort is unstable)."""
     rng = np.random.default_rng(9)
     bk = rng.integers(1, 8, size=1024, dtype=np.int32)
     pk = rng.integers(1, 8, size=256, dtype=np.int32)  # domain covered
@@ -209,16 +210,21 @@ def test_all_matched_fast_path():
     state, total_a, nonzero_a = mj.probe_count(ht, jnp.asarray(pk))
     assert int(nonzero_a) == 256
     total = int(total_a)
-    r0, s0, _, f0 = mj.probe_materialize_fill(ht, state, 1 << 10, 1 << 15,
+    # capacity must hold the full result: 1024x256 over 7 keys is ~37.5k
+    # pairs (the old 1 << 15 silently truncated r0[:total] via slice
+    # clamping, hiding part of the multiset from the comparison)
+    assert total <= 1 << 16
+    r0, s0, _, f0 = mj.probe_materialize_fill(ht, state, 1 << 10, 1 << 16,
                                               profile=PROFILE)
-    r1, s1, _, f1 = mj.probe_materialize_fill(ht, state, 1 << 10, 1 << 15,
+    r1, s1, _, f1 = mj.probe_materialize_fill(ht, state, 1 << 10, 1 << 16,
                                               profile=PROFILE,
                                               all_matched=True)
     assert bool(f0) and bool(f1)
-    np.testing.assert_array_equal(np.asarray(r0[:total]),
-                                  np.asarray(r1[:total]))
-    np.testing.assert_array_equal(np.asarray(s0[:total]),
-                                  np.asarray(s1[:total]))
+
+    def pairs(r, s):
+        a = np.stack([np.asarray(r[:total]), np.asarray(s[:total])], axis=1)
+        return a[np.lexsort(a.T[::-1])]
+    np.testing.assert_array_equal(pairs(r0, s0), pairs(r1, s1))
 
 
 def test_probe_base_offsets_sids():
@@ -228,9 +234,9 @@ def test_probe_base_offsets_sids():
     ht = build(jnp.asarray(bk))
     state, total_a, _ = mj.probe_count(ht, jnp.asarray(pk))
     total = int(total_a)
-    r0, s0, _, f0 = mj.probe_materialize_fill(ht, state, 1 << 10, 1 << 10,
+    r0, s0, _, f0 = mj.probe_materialize_fill(ht, state, 1 << 10, 1 << 16,
                                               profile=PROFILE)
-    r1, s1, _, f1 = mj.probe_materialize_fill(ht, state, 1 << 10, 1 << 10,
+    r1, s1, _, f1 = mj.probe_materialize_fill(ht, state, 1 << 10, 1 << 16,
                                               probe_base=100,
                                               profile=PROFILE)
     assert bool(f0) and bool(f1)

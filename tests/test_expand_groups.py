@@ -193,9 +193,9 @@ def test_probe_base_offsets_sids():
     ht = build(jnp.asarray(bk))
     state, total_a, _ = mj.probe_count(ht, jnp.asarray(pk))
     total = int(total_a)
-    r0, s0, _, f0 = mj.probe_materialize_groups(ht, state, 1 << 10, 1 << 10,
+    r0, s0, _, f0 = mj.probe_materialize_groups(ht, state, 1 << 10, 1 << 16,
                                                 profile=PROFILE)
-    r1, s1, _, f1 = mj.probe_materialize_groups(ht, state, 1 << 10, 1 << 10,
+    r1, s1, _, f1 = mj.probe_materialize_groups(ht, state, 1 << 10, 1 << 16,
                                                 probe_base=100,
                                                 profile=PROFILE)
     assert bool(f0) and bool(f1)

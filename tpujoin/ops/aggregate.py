@@ -25,7 +25,7 @@ from tpujoin.utils.shapes import round_up
 @jax.jit
 def group_count(keys: jax.Array) -> jax.Array:
     """Count phase: number of distinct keys."""
-    sk = jax.lax.sort(keys)
+    sk = jax.lax.sort(keys, is_stable=False)
     is_boundary = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]]
     )
@@ -44,7 +44,7 @@ def group_materialize(keys: jax.Array, capacity: int,
     carries the kernel's coverage flag as an extra last element and the
     driver falls back on False."""
     n = keys.shape[0]
-    sk = jax.lax.sort(keys)
+    sk = jax.lax.sort(keys, is_stable=False)
     is_boundary = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]]
     )
@@ -97,7 +97,8 @@ def group_agg_materialize(keys: jax.Array, values: jax.Array, capacity: int,
     n = keys.shape[0]
     # num_keys=2: value is a sort key too, so each key run has its values
     # ascending -> run min/max are its first/last elements
-    sk, sv = jax.lax.sort((keys, values), num_keys=2)
+    # unstable: BOTH operands are sort keys, so ties are fully equal rows
+    sk, sv = jax.lax.sort((keys, values), num_keys=2, is_stable=False)
     is_boundary = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]])
     if compact_step is None:

@@ -54,7 +54,7 @@ def filter_materialize(mask: jax.Array, capacity: int):
     assert n < _FAIL_BIT, "row ids must fit below the fail bit"
     ids = jnp.arange(n, dtype=jnp.int32)
     packed = jnp.where(mask, ids, ids + jnp.int32(_FAIL_BIT))
-    s = jax.lax.sort(packed)
+    s = jax.lax.sort(packed, is_stable=False)   # packed values distinct
     total = jnp.sum(mask.astype(jnp.int32))
     if capacity <= n:
         s = jax.lax.slice_in_dim(s, 0, capacity)

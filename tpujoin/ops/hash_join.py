@@ -79,10 +79,14 @@ class HashJoinTable:
 @jax.jit
 def build(build_keys: jax.Array) -> HashJoinTable:
     """Build phase (replaces @buildTable + @initializeHashTable,
-    reference join_v1.mlir:54-108): one stable key sort."""
+    reference join_v1.mlir:54-108): one key sort."""
     n = build_keys.shape[0]
     ids = jnp.arange(n, dtype=jnp.int32)
-    sk, sid = jax.lax.sort((build_keys, ids), num_keys=1)
+    # unstable: equal-key runs may hold their ids in any order — every
+    # consumer treats a run as an id multiset (oracle-checked); measured
+    # 0.59 -> 0.42 s at 100M (exp/count_sort_variants.py)
+    sk, sid = jax.lax.sort((build_keys, ids), num_keys=1,
+                           is_stable=False)
     return HashJoinTable(sk, sid)
 
 

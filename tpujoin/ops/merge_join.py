@@ -55,6 +55,27 @@ class SortedProbe:
         return cls(*children)
 
 
+def exact_sum_i32(x: jax.Array) -> jax.Array:
+    """Exact int64 sum of a non-negative i32 array WITHOUT a full-width
+    emulated-x64 pass (measured ~0.15 s at 100M — the x64 emulation costs
+    ~10 vector ops/element): per-4096-block i32 partial sums of the low
+    16 and high 15 bits are overflow-safe for ANY i32 values
+    (4096*65535 < 2^31 and 4096*32767 < 2^31), and only the tiny
+    block-sum vectors take the emulated-i64 pass."""
+    m = x.shape[0]
+    blk = 4096
+    main = (m // blk) * blk
+    xm = jax.lax.slice_in_dim(x, 0, main).reshape(-1, blk)
+    lo_s = jnp.sum(xm & jnp.int32(0xFFFF), axis=1)
+    hi_s = jnp.sum(jax.lax.shift_right_logical(xm, jnp.int32(16)), axis=1)
+    with jax.enable_x64(True):
+        total = (jnp.sum(lo_s.astype(jnp.int64))
+                 + (jnp.sum(hi_s.astype(jnp.int64)) << 16)
+                 + jnp.sum(jax.lax.slice_in_dim(x, main, m)
+                           .astype(jnp.int64)))
+    return total
+
+
 @jax.jit
 def probe_count(ht: HashJoinTable, probe_keys: jax.Array):
     """Count phase. Returns (state, total, nonzero_rows) — total is the
@@ -64,10 +85,13 @@ def probe_count(ht: HashJoinTable, probe_keys: jax.Array):
     width)."""
     m = probe_keys.shape[0]
     ids = jnp.arange(m, dtype=jnp.int32)
-    psk, pid = jax.lax.sort((probe_keys, ids), num_keys=1)
+    # unstable: ids are distinct, and the join result is an unordered
+    # multiset — tie order carries nothing. Measured 0.59 -> 0.42 s at
+    # 100M for the 2-operand sort (exp/count_sort_variants.py).
+    psk, pid = jax.lax.sort((probe_keys, ids), num_keys=1,
+                            is_stable=False)
     lo, cnt = merge_count(ht.sorted_keys, psk)
-    with jax.enable_x64(True):
-        total = jnp.sum(cnt.astype(jnp.int64))
+    total = exact_sum_i32(cnt)
     nonzero = jnp.sum((cnt > 0).astype(jnp.int32))
     return SortedProbe(pid, lo, cnt), total, nonzero
 
@@ -75,9 +99,9 @@ def probe_count(ht: HashJoinTable, probe_keys: jax.Array):
 def _compact(state: SortedProbe, k_cap: int, all_matched: bool = False,
              compact_step: int | None = None):
     """Compact count-phase state to rows with >= 1 match. Default path:
-    STABLE SORT with the zero flag folded into the key: matched rows
-    already carry non-decreasing lo (sorted-probe order), so a stable
-    sort on where(cnt>0, lo, INT32_MAX) is the same stable partition as a
+    SORT with the zero flag folded into the key: matched rows already
+    carry non-decreasing lo (sorted-probe order), so a sort on
+    where(cnt>0, lo, INT32_MAX) is the same partition as a
     separate-flag sort with one fewer operand (measured on TPU at 100M,
     exp/sort_variants.py: 3-ary masked-lo 0.79 s vs 4-ary flag 0.94 s;
     the 2-ary-sort + O(k_cap)-gather redesigns lose outright at 1.4-1.5 s
@@ -118,8 +142,12 @@ def _compact(state: SortedProbe, k_cap: int, all_matched: bool = False,
         lo_s, cnt_s, sid_s = state.lo, cnt, state.probe_ids
     else:
         mlo = jnp.where(cnt > 0, state.lo, jnp.int32(0x7FFFFFFF))
+        # unstable is safe here too: matched rows with equal masked lo
+        # share the SAME probe key (disjoint build ranges otherwise),
+        # hence the same cnt — permuting sid within a tie leaves the
+        # expanded pair multiset unchanged
         mlo_s, cnt_s, sid_s = jax.lax.sort(
-            (mlo, cnt, state.probe_ids), num_keys=1)
+            (mlo, cnt, state.probe_ids), num_keys=1, is_stable=False)
         lo_s = jnp.where(cnt_s > 0, mlo_s, 0)
 
     def fit(a):
@@ -135,15 +163,18 @@ def _compact(state: SortedProbe, k_cap: int, all_matched: bool = False,
 def _group_heads(lo_c, cnt_c, offs_c, k_cap: int, nonzero):
     """Group extraction: equal probe keys share one (lo, cnt) build range,
     and lo strictly increases across distinct matched keys, so group heads
-    are exactly the rows where lo changes. Compact heads by one stable
-    sort on a sentinel key (the same compact-by-sort idiom as _compact).
+    are exactly the rows where lo changes. Compact heads by one sort on
+    a sentinel key (the same compact-by-sort idiom as _compact).
     Returns (goff_h, glo_h, gnb_h, ngroups)."""
     row = jnp.arange(k_cap, dtype=jnp.int32)
     prev_lo = jnp.concatenate([lo_c[:1] - 1, lo_c[:-1]])
     is_head = jnp.logical_and(row < nonzero, lo_c != prev_lo)
     big = jnp.int32(0x7FFFFFFF)
     goff_in = jnp.where(is_head, offs_c, big)
-    goff_h, glo_h, gnb_h = jax.lax.sort((goff_in, lo_c, cnt_c), num_keys=1)
+    # unstable: head rows have distinct goff; non-heads all carry the
+    # sentinel and are never read back
+    goff_h, glo_h, gnb_h = jax.lax.sort((goff_in, lo_c, cnt_c),
+                                        num_keys=1, is_stable=False)
     ngroups = jnp.sum(is_head.astype(jnp.int32))
     return goff_h, glo_h, gnb_h, ngroups
 
@@ -216,6 +247,9 @@ def probe_materialize_runs(
         offs_c, lo_c, cnt_c, sid_c, ht.sorted_ids, nonzero, total, capacity,
         **kw)
     s_ids = jnp.where(s_ids >= 0, s_ids + probe_base, -1).astype(jnp.int32)
+    # same capacity contract as probe_materialize: an undersized result
+    # buffer is a truncated multiset, not a valid output
+    fits = fits & (total <= capacity) & (nonzero <= k_cap)
     return r_ids, s_ids, total, fits
 
 
@@ -259,6 +293,7 @@ def probe_materialize_groups(
         offs_c, sid_c, goff_h, glo_h, gnb_h, ht.sorted_ids,
         nonzero, ngroups, total, capacity, **kw)
     s_ids = jnp.where(s_ids >= 0, s_ids + probe_base, -1).astype(jnp.int32)
+    fits = fits & (total <= capacity) & (nonzero <= k_cap)
     return r_ids, s_ids, total, fits
 
 
@@ -304,6 +339,7 @@ def probe_materialize_fill(
         offs_c, sid_c, goff_h, glo_h, gnb_h, ht.sorted_ids,
         nonzero, ngroups, total, capacity, **kw)
     s_ids = jnp.where(s_ids >= 0, s_ids + probe_base, -1).astype(jnp.int32)
+    fits = fits & (total <= capacity) & (nonzero <= k_cap)
     return r_ids, s_ids, total, fits
 
 
@@ -375,9 +411,11 @@ def _match_partition(state: SortedProbe):
         packed = jnp.where(state.counts == 0,
                            state.probe_ids + jnp.int32(1 << 30),
                            state.probe_ids)
-        return jax.lax.sort(packed) & jnp.int32((1 << 30) - 1)
+        return (jax.lax.sort(packed, is_stable=False)
+                & jnp.int32((1 << 30) - 1))
     z = (state.counts == 0).astype(jnp.int32)
-    _, sid_s = jax.lax.sort((z, state.probe_ids), num_keys=1)
+    _, sid_s = jax.lax.sort((z, state.probe_ids), num_keys=1,
+                            is_stable=False)
     return sid_s
 
 

@@ -99,7 +99,8 @@ def _push_sort2(hk_full, mask, cap, pad_key):
     n = hk_full.shape[0]
     ids = jnp.arange(n, dtype=jnp.int32)
     packed = jnp.where(mask, ids, ids + jnp.int32(1 << 30))
-    sp, hk_s = jax.lax.sort((packed, hk_full), num_keys=1)
+    sp, hk_s = jax.lax.sort((packed, hk_full), num_keys=1,
+                            is_stable=False)    # packed ids distinct
     total = jnp.sum(mask.astype(jnp.int32))
     if cap <= n:
         sp = jax.lax.slice_in_dim(sp, 0, cap)

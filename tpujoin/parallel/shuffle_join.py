@@ -70,7 +70,7 @@ def _sort2(keys, ids, pad_key):
     """Local (key, id) sort with driver padding (id < 0) repainted to the
     side's sentinel so pads sink to the tail."""
     k = jnp.where(ids < 0, pad_key, keys)
-    return jax.lax.sort((k, ids), num_keys=1)
+    return jax.lax.sort((k, ids), num_keys=1, is_stable=False)
 
 
 def _quantile_sample(keys, k: int):
@@ -158,7 +158,7 @@ def _n_real(ids):
 def _sort_build(bk, bid):
     """Sort received build rows once (pad rows sink to the tail)."""
     bk = jnp.where(bid < 0, _BUILD_PAD_KEY, bk)
-    return jax.lax.sort((bk, bid), num_keys=1)
+    return jax.lax.sort((bk, bid), num_keys=1, is_stable=False)
 
 
 def _count_sorted(sk, pk, pid_):
@@ -168,7 +168,7 @@ def _count_sorted(sk, pk, pid_):
     from tpujoin.kernels.merge_count import merge_count
 
     pk_eff = jnp.where(pid_ < 0, _PROBE_PAD_KEY, pk)
-    psk, ppid = jax.lax.sort((pk_eff, pid_), num_keys=1)
+    psk, ppid = jax.lax.sort((pk_eff, pid_), num_keys=1, is_stable=False)
     lo, cnt = merge_count(sk, psk)
     return psk, ppid, lo, cnt
 
@@ -198,7 +198,9 @@ def _materialize_counted(sk_sorted, sid_sorted, ppid, lo, cnt,
         # compact3 idiom (see ops.merge_join._compact): flag folded into
         # the key, tail lo clamped out of the sentinel
         mlo = jnp.where(cnt > 0, lo, jnp.int32(0x7FFFFFFF))
-        mlo_c, cnt_c, sid_c = jax.lax.sort((mlo, cnt, ppid), num_keys=1)
+        # unstable-safe: equal masked lo => same key => same cnt
+        mlo_c, cnt_c, sid_c = jax.lax.sort((mlo, cnt, ppid), num_keys=1,
+                                           is_stable=False)
         lo_c = jnp.where(cnt_c > 0, mlo_c, 0)
 
         def fit(a):
@@ -425,8 +427,9 @@ def make_shuffle_join_rle_fn(mesh, send_cap_r: int, send_cap_s: int):
             _n_real(si_s))
         sk, sid = _sort_build(rbk, rbi)
         _, ppid, lo, cnt = _count_sorted(sk, sbk, sbi)
+        from tpujoin.ops.merge_join import exact_sum_i32
         with jax.enable_x64(True):
-            pairs = jnp.sum(cnt.astype(jnp.int64))
+            pairs = exact_sum_i32(cnt)
             pair_lo = (pairs & jnp.int64((1 << 30) - 1)).astype(jnp.int32)
             pair_hi = (pairs >> 30).astype(jnp.int32)
         ovf = jnp.stack([jax.lax.pmax(r_max, ROW_AXIS),

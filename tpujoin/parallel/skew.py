@@ -48,7 +48,7 @@ _SS = "sort"
 def _local_top_keys(keys, ids, h: int, pad_key):
     """Top-h locally most frequent keys (pad_key where fewer)."""
     valid = jnp.where(ids >= 0, keys, pad_key)
-    sk = jax.lax.sort(valid)
+    sk = jax.lax.sort(valid, is_stable=False)
     lo = jnp.searchsorted(sk, sk, side="left", method=_SS)
     hi = jnp.searchsorted(sk, sk, side="right", method=_SS)
     cnt = (hi - lo).astype(jnp.int32)
@@ -81,7 +81,10 @@ def _route_and_pack(keys, ids, rep_mask, spray_mask, num_peers: int,
     pid = jnp.where(rep_mask, jnp.int32(num_peers), pid)
     pid = jnp.where(ids < 0, jnp.int32(num_peers + 1), pid)
     # rep rows sort directly after the P normal partitions
-    spid, skeys, sids = jax.lax.sort((pid, keys, ids), num_keys=1)
+    # unstable: within a pid segment the row order is arbitrary (the
+    # local join re-sorts received rows by key anyway)
+    spid, skeys, sids = jax.lax.sort((pid, keys, ids), num_keys=1,
+                                     is_stable=False)
     bounds = jnp.arange(num_peers + 1, dtype=jnp.int32)
     starts = jnp.searchsorted(spid, bounds, side="left", method=_SS).astype(jnp.int32)
     ends = jnp.searchsorted(spid, bounds, side="right", method=_SS).astype(jnp.int32)
@@ -140,8 +143,10 @@ def make_skew_join_fn(
         cand = jax.lax.all_gather(cand, ROW_AXIS).reshape(-1)
         cand = jax.lax.sort(cand)  # identical on every device
 
-        sr = jax.lax.sort(jnp.where(r_ids >= 0, r_keys, _BUILD_PAD_KEY))
-        ss = jax.lax.sort(jnp.where(s_ids >= 0, s_keys, _BUILD_PAD_KEY))
+        sr = jax.lax.sort(jnp.where(r_ids >= 0, r_keys, _BUILD_PAD_KEY),
+                          is_stable=False)
+        ss = jax.lax.sort(jnp.where(s_ids >= 0, s_keys, _BUILD_PAD_KEY),
+                          is_stable=False)
         gr = jax.lax.psum(_counts_in(sr, cand), ROW_AXIS)
         gs = jax.lax.psum(_counts_in(ss, cand), ROW_AXIS)
 
