@@ -117,9 +117,28 @@ def group_agg_materialize(keys: jax.Array, values: jax.Array, capacity: int,
     ends = jnp.where(is_last, n, next_start)
     safe_ends = jnp.where(valid, jnp.clip(ends, 1, n), 1)
     counts = jnp.where(valid, safe_ends - safe_starts, 0)
-    # exact sums via inclusive-cumsum difference in emulated i64
+    # exact sums via inclusive-cumsum difference in i64 — computed
+    # BLOCKWISE: per-4096-block i32 cumsums of the value's (hi16, lo16)
+    # halves are overflow-safe (|hi|<=32768*4096 < 2^31, lo<=65535*4096
+    # < 2^31; arithmetic shift keeps negatives exact since
+    # v == (v >> 16 << 16) + (v & 0xFFFF)), so only block offsets and
+    # ONE add per element run in emulated x64 — measured 0.096 s vs
+    # 0.199 s for the full-width emulated cumsum at 100M
+    blk = 4096
+    m_main = (n // blk) * blk
+    vm = jax.lax.slice_in_dim(sv, 0, m_main).reshape(-1, blk)
+    chi = jnp.cumsum(jax.lax.shift_right_arithmetic(vm, jnp.int32(16)),
+                     axis=1)
+    clo = jnp.cumsum(vm & jnp.int32(0xFFFF), axis=1)
     with jax.enable_x64(True):
-        cs = jnp.cumsum(sv.astype(jnp.int64))
+        btot = ((chi[:, -1].astype(jnp.int64) << 16)
+                + clo[:, -1].astype(jnp.int64))
+        boff = jnp.cumsum(btot) - btot
+        cs_main = (boff[:, None] + (chi.astype(jnp.int64) << 16)
+                   + clo.astype(jnp.int64)).reshape(-1)
+        tail = jax.lax.slice_in_dim(sv, m_main, n).astype(jnp.int64)
+        tail_base = cs_main[-1] if m_main else jnp.int64(0)
+        cs = jnp.concatenate([cs_main, tail_base + jnp.cumsum(tail)])
         sum_hi64 = jnp.take(cs, (safe_ends - 1).astype(jnp.int64))
         sum_lo64 = jnp.where(safe_starts > 0,
                              jnp.take(cs, (safe_starts - 1).astype(jnp.int64)),
