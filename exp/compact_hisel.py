@@ -103,7 +103,6 @@ def main():
 
         for name, fn in runs:
             out = fn()
-            res = np.asarray(out[0][:kept]), np.asarray(out[2 if len(out) == 3 else 2])
             if name.startswith("k"):
                 pay_c, m_c, ids_c, fits = out
                 assert bool(fits), f"{name}: coverage miss"
@@ -114,11 +113,13 @@ def main():
                 ok = (int(total) == kept
                       and np.array_equal(np.asarray(out_ids[:kept]), exp_ids)
                       and np.array_equal(np.asarray(pay[:kept]), exp_pay))
+            # a wrong-result variant must NOT contribute a timing row —
+            # these tables set the shipped pick_out_config policy
+            assert ok, f"{name}[sel{sel}]: result mismatch"
             stat = time_fn(fn, name=f"{name}[sel{sel}]", rows=n, warmup=1,
                            iters=3)
             print(f"{name:>16}: {stat.seconds:.3f} s "
-                  f"({n / stat.seconds / 1e6:.0f}M rows/s) "
-                  f"{'OK' if ok else 'MISMATCH'}", flush=True)
+                  f"({n / stat.seconds / 1e6:.0f}M rows/s) OK", flush=True)
 
 
 if __name__ == "__main__":

@@ -50,8 +50,12 @@ def main():
         total, nonzero = int(total_a), int(nonzero_a)
         cap = round_up(total, cfg.result_pad_multiple)
         k_cap = round_up(nonzero, max(cfg.result_pad_multiple // 8, 1024))
-        kname, _, mat = mj.plan_materialize(ht, state, k_cap, cap,
-                                            total=total, nonzero=nonzero)
+        kname, plan_res, mat = mj.plan_materialize(ht, state, k_cap, cap,
+                                                   total=total,
+                                                   nonzero=nonzero)
+        # free the plan's ~8 GB result buffers before re-running the
+        # materialize (two live result sets OOM HBM on the 1B-pair config)
+        del plan_res
         # warm every executable outside the traced region
         _sync(mat())
         plans.append((name, bk, pk, ht, mat, kname))

@@ -509,6 +509,11 @@ def plan_materialize(
                         lambda f=fn, s=slab, k=kw: f(
                             ht, state, k_cap, capacity,
                             probe_base=probe_base, src_slab=s, **k)[:3])
+                # release the failed trial's full-capacity result buffers
+                # BEFORE launching the next trial: at 1B-pair capacities
+                # each (r_ids, s_ids) set is ~8 GB and two live sets OOM
+                # HBM (the bool(fits) sync above already forced the call)
+                del r_ids, s_ids, tot, fits
     if total >= nonzero * RUNS_MIN_DUP:
         from tpujoin.kernels.expand_runs import SRC_SLABS
         for slab in SRC_SLABS:
@@ -520,6 +525,7 @@ def plan_materialize(
                     lambda s=slab: probe_materialize_runs(
                         ht, state, k_cap, capacity, probe_base=probe_base,
                         src_slab=s)[:3])
+            del r_ids, s_ids, tot, fits
     # expand path: compact with the Pallas kernel instead of the 3-ary
     # sort when the host-known selectivity fits its coverage envelope
     # (the device fits flag guards local dips; sort fallback otherwise)
@@ -541,6 +547,7 @@ def plan_materialize(
         # plan said cover, device disagreed (cannot happen while both run
         # the same block math, but the kernel flag stays authoritative)
         cstep = None
+        del r_ids, s_ids, tot, fits   # free before the retry allocates
         r_ids, s_ids, tot, fits = probe_materialize(
             ht, state, k_cap, capacity, probe_base=probe_base,
             compact_step=None)

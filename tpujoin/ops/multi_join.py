@@ -114,6 +114,30 @@ def _push_sort2(hk_full, mask, cap, pad_key):
     return ids_c, hk_c
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _push_sort3(hk_full, mask, cap, pad_key):
+    """Like :func:`_push_sort2` but for tables at or above 2^30 rows,
+    where no fail bit fits above the id in one i32: a 3-operand sort on
+    an explicit drop flag (kept rows first; id and candidate key ride as
+    payload)."""
+    n = hk_full.shape[0]
+    ids = jnp.arange(n, dtype=jnp.int32)
+    flag = jnp.where(mask, jnp.int32(0), jnp.int32(1))
+    _, ids_s, hk_s = jax.lax.sort((flag, ids, hk_full), num_keys=1,
+                                  is_stable=False)
+    total = jnp.sum(mask.astype(jnp.int32))
+    if cap <= n:
+        ids_s = jax.lax.slice_in_dim(ids_s, 0, cap)
+        hk_s = jax.lax.slice_in_dim(hk_s, 0, cap)
+    else:
+        ids_s = jnp.pad(ids_s, (0, cap - n), constant_values=np.int32(-1))
+        hk_s = jnp.pad(hk_s, (0, cap - n))
+    t = jnp.arange(cap, dtype=jnp.int32)
+    ids_c = jnp.where(t < total, ids_s, -1)
+    hk_c = jnp.where(t < total, hk_s, pad_key)
+    return ids_c, hk_c
+
+
 @functools.partial(jax.jit, static_argnames=("cap", "cstep", "slab"))
 def _push_kernel(hk_full, mask, cap, cstep, slab):
     """Compact (candidate key, row id) by the predicate mask in ONE
@@ -134,7 +158,7 @@ def _push(table: Table, pred, col, pad_key, on, result_pad_multiple):
     """One side's pushdown: (kept_row_ids, candidate_keys) at bucketed
     static width, tail slots sentinel-keyed / id -1 so pads never join."""
     from tpujoin.kernels.compact import pick_out_config
-    from tpujoin.ops.filter import filter_count, filter_materialize
+    from tpujoin.ops.filter import filter_count
 
     hk_full = combined_key(table, on)
     if pred is None:
@@ -161,8 +185,10 @@ def _push(table: Table, pred, col, pad_key, on, result_pad_multiple):
                 return ids_c, hk_c
     if table.num_rows < (1 << 30):
         return _push_sort2(hk_full, mask, cap, pad_key)
-    ids, _ = filter_materialize(mask, cap)
-    return ids, _take_pad(hk_full, ids, pad_key)
+    # >= 2^30 rows: the packed fail-bit idiom has no headroom above the
+    # id, so compact by a 3-operand flag sort instead (still no O(kept)
+    # gather; ties within a flag class carry no information)
+    return _push_sort3(hk_full, mask, cap, pad_key)
 
 
 def hash_join_multi(

@@ -185,6 +185,12 @@ def _materialize_counted(sk_sorted, sid_sorted, ppid, lo, cnt,
     from tpujoin.kernels.expand import expand
 
     total = jnp.sum(cnt)
+    # matched-ROW capacity: every matched row contributes >= 1 pair and
+    # there are at most len(cnt) rows, so min(capacity, len(cnt)) bounds
+    # nonzero — sizing the compaction at the PAIR capacity would launch
+    # capacity/out_step grid steps where ceil(rows/out_step) suffice
+    # (the single-chip pipeline keeps the same distinction via k_cap)
+    k_cap = min(capacity, cnt.shape[0])
     if compact_step is not None:
         from tpujoin.kernels import compact as ck
 
@@ -192,7 +198,7 @@ def _materialize_counted(sk_sorted, sid_sorted, ppid, lo, cnt,
             kw = {"out_step": min(compact_step, 1024), "slab": 4096}
         else:
             kw = {"out_step": compact_step}
-        lo_c, cnt_c, sid_c, cfits = ck.compact3(lo, cnt, ppid, capacity,
+        lo_c, cnt_c, sid_c, cfits = ck.compact3(lo, cnt, ppid, k_cap,
                                                 **kw)
     else:
         # compact3 idiom (see ops.merge_join._compact): flag folded into
@@ -205,9 +211,9 @@ def _materialize_counted(sk_sorted, sid_sorted, ppid, lo, cnt,
 
         def fit(a):
             m = a.shape[0]
-            if capacity <= m:
-                return jax.lax.slice_in_dim(a, 0, capacity)
-            return jnp.pad(a, (0, capacity - m))
+            if k_cap <= m:
+                return jax.lax.slice_in_dim(a, 0, k_cap)
+            return jnp.pad(a, (0, k_cap - m))
 
         lo_c, cnt_c, sid_c = fit(lo_c), fit(cnt_c), fit(sid_c)
         cfits = jnp.bool_(True)
@@ -693,7 +699,8 @@ def distributed_hash_join(
     cap_res = round_up(
         int(expected_matches / (ndev * nchunks) * slack) + 64, 64)
 
-    for _ in range(max_retries + 1):
+    cap_retries = max_retries
+    while True:
         if nchunks > 1:
             fn = make_shuffle_join_pipelined_fn(mesh, cap_r, cap_s, cap_res,
                                                 num_chunks=nchunks,
@@ -705,14 +712,19 @@ def distributed_hash_join(
         ovf = np.asarray(ovf)
         if ovf[0] <= cap_r and ovf[1] <= cap_s and ovf[2] <= cap_res:
             if compact_step is not None and ovf[3] == 0:
-                compact_step = None     # coverage miss -> sort fallback
+                # coverage miss -> sort fallback; does NOT consume a
+                # capacity retry (the fallback always covers, and this
+                # branch can fire at most once — compact_step goes None)
+                compact_step = None
                 continue
             break
+        if cap_retries == 0:
+            raise RuntimeError(
+                f"shuffle join capacities did not converge: {ovf}")
+        cap_retries -= 1
         cap_r = max(cap_r, round_up(int(ovf[0]), 64))
         cap_s = max(cap_s, round_up(int(ovf[1]), 64))
         cap_res = max(cap_res, round_up(int(ovf[2]), 64))
-    else:
-        raise RuntimeError(f"shuffle join capacities did not converge: {ovf}")
 
     r_out = np.asarray(r_out).reshape(ndev * nchunks, -1)
     s_out = np.asarray(s_out).reshape(ndev * nchunks, -1)
