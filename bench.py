@@ -860,7 +860,8 @@ def main():
             eprint(json.dumps(detail))
             configs[key] = detail
         if args.config is None and on_tpu and args.engine is None:
-            mj_detail = bench_multi_join(100_000_000, args.verify)
+            mj_detail = bench_multi_join(int(100_000_000 * args.scale),
+                                         args.verify)
             eprint(json.dumps(mj_detail))
             configs["multi_join"] = mj_detail
 
@@ -894,6 +895,14 @@ def main():
                     _HIGH_BAR.get(c.get("engine"), 1.5)
                     / c["total_seconds_materialized"]}
                if "total_seconds_materialized" in c else {})
+            # v1's factorized (RLE) result (VERDICT r3 #8): surface it in
+            # the driver artifact, not just the stderr detail stream
+            | ({"rle_result_seconds": c["rle_result_seconds"],
+                "total_seconds_rle": c["total_seconds_rle"],
+                "rle_verified": c["rle_verified"],
+                "vs_ref_rle": _HIGH_BAR.get(c.get("engine"), 1.5)
+                    / c["total_seconds_rle"]}
+               if "total_seconds_rle" in c else {})
             for n, c in configs.items()
         },
     }
