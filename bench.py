@@ -23,7 +23,6 @@ Usage: python bench.py [--config NAME] [--no-verify] [--scale F]
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 import signal
@@ -53,122 +52,20 @@ def eprint(*a):
 # ---- full-coverage verification of materialized ~1B-pair results ----
 #
 # The reference's oracle gate checks EVERY pair of every run
-# (shared.cpp:154-171). Shipping 8 GB of pair columns over this platform's
-# device->host tunnel is not viable (sub-MB/s), so full coverage is split:
-# (1) the factorized RLE form is fully checked by the native oracle — that
-# IS the join; (2) every 2^20-slot window of the materialized pair columns
-# is reduced ON DEVICE to a position-sensitive 64-bit checksum (splitmix64
-# of (r<<32|s) keyed by the absolute slot index, XOR-folded per window),
-# and EVERY window's checksum is compared against the same reduction of a
-# host-side streaming expansion of the verified RLE form. Any slot whose
-# (r, s) differs from the RLE expansion flips its window's checksum with
-# probability 1 - 2^-64 — including at kernel step/group/slab phase
-# boundaries, which the 3-window spot check this replaces could miss.
+# (shared.cpp:154-171). Full coverage here is split: (1) the factorized
+# RLE form is fully checked by the native oracle — that IS the join;
+# (2) every materialized slot is covered by device-reduced 64-bit
+# checksums compared against host-side streaming recomputation. The
+# machinery lives in tpujoin.utils.verify (shared with the distributed
+# captures, VERDICT r4 #3); aliases below keep this module's historical
+# names.
 
-_VERIFY_WINDOW = 1 << 20
-_M1 = 0xBF58476D1CE4E5B9
-_M2 = 0x94D049BB133111EB
-_GOLDEN = 0x9E3779B97F4A7C15
-
-
-def _mix64_np(z):
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(_M1)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(_M2)
-    return z ^ (z >> np.uint64(31))
-
-
-@functools.partial(jax.jit, static_argnames=("num_windows",))
-def _window_checksums(r_ids, s_ids, total, num_windows: int):
-    """[num_windows] u32x2 checksums over 2^20-slot windows (slots >= total
-    contribute nothing). One jit, one scan; per-step temps ~8 MB."""
-    w = _VERIFY_WINDOW
-    with jax.enable_x64(True):
-        r2 = r_ids.reshape(num_windows, w)
-        s2 = s_ids.reshape(num_windows, w)
-        total = total.astype(jnp.int64)
-
-        def one(c, xs):
-            r, s = xs
-            t = c * w + jnp.arange(w, dtype=jnp.int64)
-            pack = (r.astype(jnp.uint64) << 32) | s.astype(jnp.uint64)
-            z = pack + t.astype(jnp.uint64) * jnp.uint64(_GOLDEN)
-            z = (z ^ (z >> 30)) * jnp.uint64(_M1)
-            z = (z ^ (z >> 27)) * jnp.uint64(_M2)
-            z = z ^ (z >> 31)
-            h = jax.lax.reduce(
-                jnp.where(t < total, z, jnp.uint64(0)), jnp.uint64(0),
-                jax.lax.bitwise_xor, (0,))
-            return c + 1, h
-
-        _, hs = jax.lax.scan(one, jnp.int64(0), (r2, s2))
-        return (jnp.right_shift(hs, jnp.uint64(32)).astype(jnp.uint32),
-                (hs & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32))
-
-
-def _expected_checksums(src, sid, lo, cnt, total: int, num_windows: int):
-    """The same per-window checksums, streamed on the host from the
-    (already oracle-verified) RLE form — never materializing more than one
-    window. Also returns the order-invariant multiset checksum (wrapping
-    u64 SUM of mix64(r<<32|s) over all pairs — addition, not xor, so
-    duplicated+dropped pair pairs cannot cancel), used to verify engines
-    that emit pairs in a different order (v1's unsorted-probe layout)."""
-    w = _VERIFY_WINDOW
-    cnt64 = cnt.astype(np.int64)
-    offs = np.cumsum(cnt64) - cnt64
-    hi32 = np.empty(num_windows, np.uint32)
-    lo32 = np.empty(num_windows, np.uint32)
-    msum = np.uint64(0)
-    for c in range(num_windows):
-        a, b = c * w, min((c + 1) * w, total)
-        if a >= b:
-            hi32[c] = lo32[c] = 0
-            continue
-        i0 = max(np.searchsorted(offs, a, side="right") - 1, 0)
-        i1 = np.searchsorted(offs, b, side="left")
-        rs, rl, rc, rid = offs[i0:i1], lo[i0:i1], cnt64[i0:i1], sid[i0:i1]
-        starts = np.maximum(rs, a)
-        ends = np.minimum(rs + rc, b)
-        lens = ends - starts
-        j = (np.arange(b - a) - np.repeat(np.cumsum(lens) - lens, lens)
-             + np.repeat(starts - rs, lens))
-        r = src[np.repeat(rl, lens) + j].astype(np.uint64)
-        s = np.repeat(rid, lens).astype(np.uint64)
-        t = np.arange(a, b, dtype=np.uint64)
-        pack = (r << np.uint64(32)) | s
-        h = _mix64_np(pack + t * np.uint64(_GOLDEN))
-        folded = np.bitwise_xor.reduce(h)
-        hi32[c] = np.uint32(folded >> np.uint64(32))
-        lo32[c] = np.uint32(folded & np.uint64(0xFFFFFFFF))
-        with np.errstate(over="ignore"):
-            msum = msum + _mix64_np(pack).sum(dtype=np.uint64)
-    return hi32, lo32, int(msum)
-
-
-@functools.partial(jax.jit, static_argnames=("num_windows",))
-def _multiset_checksum(r_ids, s_ids, total, num_windows: int):
-    """Order-invariant u64 multiset checksum of the valid (r, s) slots:
-    wrapping sum of mix64(r<<32|s). Returned as (hi32, lo32)."""
-    w = _VERIFY_WINDOW
-    with jax.enable_x64(True):
-        r2 = r_ids.reshape(num_windows, w)
-        s2 = s_ids.reshape(num_windows, w)
-        total = total.astype(jnp.int64)
-
-        def one(carry, xs):
-            c, acc = carry
-            r, s = xs
-            t = c * w + jnp.arange(w, dtype=jnp.int64)
-            z = (r.astype(jnp.uint64) << 32) | s.astype(jnp.uint64)
-            z = (z ^ (z >> 30)) * jnp.uint64(_M1)
-            z = (z ^ (z >> 27)) * jnp.uint64(_M2)
-            z = z ^ (z >> 31)
-            acc = acc + jnp.sum(jnp.where(t < total, z, jnp.uint64(0)))
-            return (c + 1, acc), None
-
-        (_, acc), _ = jax.lax.scan(one, (jnp.int64(0), jnp.uint64(0)),
-                                   (r2, s2))
-        return ((acc >> jnp.uint64(32)).astype(jnp.uint32),
-                (acc & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32))
+from tpujoin.utils.verify import (  # noqa: E402
+    VERIFY_WINDOW as _VERIFY_WINDOW,
+    expected_checksums as _expected_checksums,
+    multiset_checksum as _multiset_checksum,
+    window_checksums as _window_checksums,
+)
 
 
 # per-config cache of the oracle-verified RLE form + its host-derived
