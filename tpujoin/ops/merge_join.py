@@ -77,12 +77,15 @@ def exact_sum_i32(x: jax.Array) -> jax.Array:
 
 
 @jax.jit
-def probe_count(ht: HashJoinTable, probe_keys: jax.Array):
-    """Count phase. Returns (state, total, nonzero_rows) — total is the
-    exact result size (int64: skewed workloads exceed 2^31 pairs, e.g.
-    Zipf(1.0) at 10M x 10M is ~10^11 pairs), nonzero_rows the number of
-    probe rows with >= 1 match (the materialize phase's compaction
-    width)."""
+def _count_presorted(ht: HashJoinTable, psk: jax.Array, pid: jax.Array):
+    lo, cnt = merge_count(ht.sorted_keys, psk)
+    total = exact_sum_i32(cnt)
+    nonzero = jnp.sum((cnt > 0).astype(jnp.int32))
+    return SortedProbe(pid, lo, cnt), total, nonzero
+
+
+@jax.jit
+def _probe_count_xla(ht: HashJoinTable, probe_keys: jax.Array):
     m = probe_keys.shape[0]
     ids = jnp.arange(m, dtype=jnp.int32)
     # unstable: ids are distinct, and the join result is an unordered
@@ -90,10 +93,27 @@ def probe_count(ht: HashJoinTable, probe_keys: jax.Array):
     # 100M for the 2-operand sort (exp/count_sort_variants.py).
     psk, pid = jax.lax.sort((probe_keys, ids), num_keys=1,
                             is_stable=False)
-    lo, cnt = merge_count(ht.sorted_keys, psk)
-    total = exact_sum_i32(cnt)
-    nonzero = jnp.sum((cnt > 0).astype(jnp.int32))
-    return SortedProbe(pid, lo, cnt), total, nonzero
+    return _count_presorted(ht, psk, pid)
+
+
+def probe_count(ht: HashJoinTable, probe_keys: jax.Array):
+    """Count phase. Returns (state, total, nonzero_rows) — total is the
+    exact result size (int64: skewed workloads exceed 2^31 pairs, e.g.
+    Zipf(1.0) at 10M x 10M is ~10^11 pairs), nonzero_rows the number of
+    probe rows with >= 1 match (the materialize phase's compaction
+    width). The probe sort runs on the owned Pallas merge sort
+    (kernels.merge_sort) at driver scale on TPU, lax.sort when traced or
+    small (ops.hash_join.use_pallas_sort)."""
+    from tpujoin.ops.hash_join import use_pallas_sort
+
+    if use_pallas_sort(probe_keys):
+        from tpujoin.kernels.merge_sort import sort_pairs
+
+        m = probe_keys.shape[0]
+        psk, pid = sort_pairs(probe_keys,
+                              jnp.arange(m, dtype=jnp.int32))
+        return _count_presorted(ht, psk, pid)
+    return _probe_count_xla(ht, probe_keys)
 
 
 def _compact(state: SortedProbe, k_cap: int, all_matched: bool = False,
