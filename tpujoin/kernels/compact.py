@@ -390,6 +390,127 @@ def compact_ids(
     return ids2.reshape(k_out)[:k_cap], nonzero, fits
 
 
+def _kernel_cols(ncols: int, out_step: int, slab: int, interpret: bool):
+    """Variadic-column compaction kernel body: one mask slab drives the
+    ranks, ``ncols`` payload slabs ride the staged shifts (the compact3
+    machinery generalized for the aggregate value path, VERDICT r4 #6 —
+    five O(G) boundary gathers at the ~73M idx/s element-gather floor
+    become one kernel pass)."""
+
+    def kernel(r0row_ref, base_ref, lim_ref, *refs):
+        m_hbm = refs[0]
+        cols_hbm = refs[1:1 + ncols]
+        outs = refs[1 + ncols:1 + 2 * ncols]
+        m_buf = refs[1 + 2 * ncols]
+        bufs = refs[2 + 2 * ncols:2 + 3 * ncols]
+        sems = refs[-1]
+        j = pl.program_id(0)
+        r0row = pl.multiple_of(r0row_ref[j], ALIGN // LANES)
+        base = base_ref[j]
+        nonzero = lim_ref[0]
+        start = j * out_step
+        sr = slab // LANES
+
+        copies = [pltpu.make_async_copy(m_hbm.at[pl.ds(r0row, sr)], m_buf,
+                                        sems.at[0])]
+        copies += [
+            pltpu.make_async_copy(h.at[pl.ds(r0row, sr)], b, sems.at[c + 1])
+            for c, (h, b) in enumerate(zip(cols_hbm, bufs))
+        ]
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+        roll = jnp.roll if interpret else pltpu.roll
+        cols = [b[...] for b in bufs]
+        flat = (jax.lax.broadcasted_iota(jnp.int32, (sr, LANES), 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.int32, (sr, LANES), 1))
+        f = (m_buf[...] > 0).astype(jnp.int32)
+        rank = _rank_excl(f, roll)
+        dest = rank - (start - base)
+        keep = jnp.logical_and(
+            f > 0, jnp.logical_and(dest >= 0, dest < out_step))
+        v = keep.astype(jnp.int32)
+        s = flat - dest
+
+        k, bit = 1, 0
+        while k < slab:
+            inc_v = _flat_shl(v, k, roll)
+            inc_s = _flat_shl(s, k, roll)
+            take = jnp.logical_and(inc_v > 0, ((inc_s >> bit) & 1) > 0)
+            moved_out = ((s >> bit) & 1) > 0
+            cols = [jnp.where(take, _flat_shl(c, k, roll), c)
+                    for c in cols]
+            s = jnp.where(take, inc_s - k, s)
+            v = jnp.where(take, 1, jnp.where(moved_out, 0, v))
+            k *= 2
+            bit += 1
+
+        orows = out_step // LANES
+        filled = jnp.logical_and(v[:orows] > 0,
+                                 start + flat[:orows] < nonzero)
+        for o, c in zip(outs, cols):
+            o[...] = jnp.where(filled, c[:orows], 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k_cap", "out_step", "slab",
+                                    "interpret"))
+def compact_cols(
+    mask: jax.Array,          # [n] rows with mask > 0 are kept
+    cols: tuple,              # tuple of [n] i32 payload columns
+    k_cap: int,
+    *,
+    out_step: int = OUT_STEPS[1],
+    slab: int = SLAB,
+    interpret: bool | None = None,
+):
+    """(compacted_cols, nonzero, fits): every payload column compacted to
+    the rows with mask > 0, in order, at static width k_cap (tail
+    zero-padded). Same plan/fit contract as :func:`compact3` (which is
+    the ncols=3 special case with the count column doubling as mask)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    assert slab % ALIGN == 0 and out_step % ALIGN == 0
+    assert slab >= out_step + 2 * ALIGN
+    ncols = len(cols)
+    n = mask.shape[0]
+    n_pad = max(round_up(n, ALIGN), slab)
+    npad = n_pad - n
+    mi = jnp.pad(mask.astype(jnp.int32), (0, npad))
+    colsp = [jnp.pad(c, (0, npad)) for c in cols]
+
+    r0, base, nonzero, fits = _plan(mi, k_cap, out_step, slab)
+    k_out = round_up(k_cap, out_step)
+    num_steps = k_out // out_step
+    sr = slab // LANES
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_steps,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * (1 + ncols),
+        out_specs=[
+            pl.BlockSpec((out_step // LANES, LANES), lambda j, *_: (j, 0),
+                         memory_space=pltpu.VMEM)
+        ] * ncols,
+        scratch_shapes=[pltpu.VMEM((sr, LANES), jnp.int32)] * (1 + ncols)
+        + [pltpu.SemaphoreType.DMA((1 + ncols,))],
+    )
+    outs = pl.pallas_call(
+        _kernel_cols(ncols, out_step, slab, interpret),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((k_out // LANES, LANES), jnp.int32)
+        ] * ncols,
+        interpret=interpret,
+    )(r0 // LANES, base, jnp.stack([nonzero]),
+      mi.reshape(n_pad // LANES, LANES),
+      *[c.reshape(n_pad // LANES, LANES) for c in colsp])
+    return (tuple(o.reshape(k_out)[:k_cap] for o in outs), nonzero, fits)
+
+
 MAX_SLAB = 131072     # the staged-shift loop keeps ~16 live slab-sized
                       # i32 temporaries in VMEM: 131072 rows x 4 B x ~16
                       # ~= 8 MB fits the 16 MB scoped limit; 227k rows

