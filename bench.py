@@ -676,11 +676,23 @@ def bench_multi_join(rows: int, verify: bool) -> dict:
         k1s, k2s = np.asarray(s["k1"]), np.asarray(s["k2"])
         pair_ok = bool((k1r[r_ids] == k1s[s_ids]).all()
                        and (k2r[r_ids] == k2s[s_ids]).all())
-        cr = (k1r.astype(np.int64) << 32) | k2r
-        cs = (k1s.astype(np.int64) << 32) | k2s
-        crs = np.sort(cr)
-        expected = int((np.searchsorted(crs, cs, "right")
-                        - np.searchsorted(crs, cs, "left")).sum())
+        # expected count ON DEVICE: the host recompute (np.sort +
+        # searchsorted over 100M i64) ran >10 minutes under host memory
+        # pressure in the r5 rehearsal and cost round 4 its summary line
+        # — the device does the same thing in seconds
+
+        @jax.jit
+        def _expected(k1r, k2r, k1s, k2s):
+            with jax.enable_x64(True):
+                cr = (k1r.astype(jnp.int64) << 32) | k2r.astype(jnp.int64)
+                cs = (k1s.astype(jnp.int64) << 32) | k2s.astype(jnp.int64)
+                crs = jnp.sort(cr)
+                hi = jnp.searchsorted(crs, cs, side="right",
+                                      method="sort")
+                lo = jnp.searchsorted(crs, cs, side="left", method="sort")
+                return jnp.sum(hi - lo)
+
+        expected = int(_expected(r["k1"], r["k2"], s["k1"], s["k2"]))
         verified = pair_ok and expected == total2
         eprint(f"multi-join parity: {'PASS' if verified else 'FAIL'} "
                f"(rows {total2} expected {expected})")

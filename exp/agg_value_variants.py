@@ -81,7 +81,8 @@ def main():
         safe_ends = jnp.where(valid, jnp.clip(ends, 1, n), 1)
         counts = jnp.where(valid, safe_ends - safe_starts, 0)
         blk = 4096
-        vm = sv.reshape(-1, blk)
+        m_main = (n // blk) * blk
+        vm = jax.lax.slice_in_dim(sv, 0, m_main).reshape(-1, blk)
         chi = jnp.cumsum(jax.lax.shift_right_arithmetic(vm, jnp.int32(16)),
                          axis=1)
         clo = jnp.cumsum(vm & jnp.int32(0xFFFF), axis=1)
@@ -89,8 +90,11 @@ def main():
             btot = ((chi[:, -1].astype(jnp.int64) << 16)
                     + clo[:, -1].astype(jnp.int64))
             boff = jnp.cumsum(btot) - btot
-            cs = (boff[:, None] + (chi.astype(jnp.int64) << 16)
-                  + clo.astype(jnp.int64)).reshape(-1)
+            cs_main = (boff[:, None] + (chi.astype(jnp.int64) << 16)
+                       + clo.astype(jnp.int64)).reshape(-1)
+            tail = jax.lax.slice_in_dim(sv, m_main, n).astype(jnp.int64)
+            tail_base = cs_main[-1] if m_main else jnp.int64(0)
+            cs = jnp.concatenate([cs_main, tail_base + jnp.cumsum(tail)])
             hi64 = jnp.take(cs, (safe_ends - 1).astype(jnp.int64))
             lo64 = jnp.where(
                 safe_starts > 0,
@@ -131,7 +135,7 @@ def main():
             for a, b in zip(ref, cur):
                 assert np.array_equal(a, b), f"{name} mismatch"
         eprint(f"{name}: parity OK ({int(ng)} groups)")
-        st = time_fn(fn, name=name, rows=n)
+        st = time_fn(fn, name=name, rows=n, iters=7, reduce="min")
         eprint(json.dumps(st.as_dict()))
         results.append({"variant": name, "seconds": st.seconds,
                         "rows_per_sec": n / st.seconds})
@@ -153,7 +157,7 @@ def main():
     for name, fn in (("sort2_kv", lambda: sort2(keys, vals)),
                      ("sort_packed_i64",
                       lambda: sort_packed(keys, vals))):
-        st = time_fn(fn, name=name, rows=n)
+        st = time_fn(fn, name=name, rows=n, iters=7, reduce="min")
         eprint(json.dumps(st.as_dict()))
         results.append({"variant": name, "seconds": st.seconds})
 

@@ -97,10 +97,10 @@ def main():
 
     st_stats = time_fn(lambda: stats_fn(rk, ri, sk, si)[5],
                        name="dist_mesh1_stats_pass", rows=n,
-                       warmup=1, iters=3)
+                       warmup=1, iters=5, reduce="min")
     st_join = time_fn(lambda: join_fn(rk_s, ri_s, sk_s, si_s, spl)[3],
                       name="dist_mesh1_join_pass", rows=n,
-                      warmup=1, iters=3)
+                      warmup=1, iters=5, reduce="min")
     secs = st_stats.seconds + st_join.seconds
     total = int(np.asarray(totals).sum())
     print(f"mesh=1 distributed join (device-resident, DEFAULT auto-caps "

@@ -96,7 +96,7 @@ def main():
           f"r={int(ovf_h[0])} s={int(ovf_h[1])}", flush=True)
 
     st_skew = time_fn(lambda: fn(rk, ri, sk, si)[3],
-                      name="dist_skew_mesh1", rows=m, warmup=1, iters=3)
+                      name="dist_skew_mesh1", rows=m, warmup=1, iters=5, reduce="min")
     total = int(np.asarray(totals).sum())
     print(f"mesh=1 SKEW-SPLIT join (device-resident): "
           f"{st_skew.seconds:.3f} s, result {total}", flush=True)
@@ -119,9 +119,9 @@ def main():
     pfn = make_shuffle_join_presorted_fn(mesh, pcap_r, pcap_s, cap_res)
     r2, s2, totals2, ovf2 = pfn(rk_s, ri_s, sk_s, si_s, spl)
     st_stats = time_fn(lambda: stats_fn(rk, ri, sk, si)[5],
-                       name="dist_plain_stats", rows=m, warmup=1, iters=3)
+                       name="dist_plain_stats", rows=m, warmup=1, iters=5, reduce="min")
     st_plain = time_fn(lambda: pfn(rk_s, ri_s, sk_s, si_s, spl)[3],
-                       name="dist_plain_join", rows=m, warmup=1, iters=3)
+                       name="dist_plain_join", rows=m, warmup=1, iters=5, reduce="min")
     total2 = int(np.asarray(totals2).sum())
     assert total2 == exp_total, (total2, exp_total)
     got2 = device_multiset_sum(r2.reshape(-1), s2.reshape(-1), total2)

@@ -63,7 +63,7 @@ def main():
     assert ovf_h[0] <= cap and ovf_h[1] <= cap, ovf_h
 
     stat = time_fn(lambda: fn(rk, ri, sk, si)[6],
-                   name="dist_zipf_rle_mesh1", rows=n, warmup=1, iters=3)
+                   name="dist_zipf_rle_mesh1", rows=n, warmup=1, iters=5, reduce="min")
     pairs = int((np.asarray(ph).astype(np.int64).sum() << 30)
                 + np.asarray(pl).astype(np.int64).sum())
     print(f"mesh=1 distributed RLE zipf join (device-resident): "

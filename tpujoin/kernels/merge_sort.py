@@ -470,7 +470,7 @@ def sort_pairs_pow2(keys: jax.Array, ids: jax.Array, *,
 
 
 def sort_pairs(keys: jax.Array, ids: jax.Array, *,
-               run_len0: int = 1 << 16, t_out: int = 1 << 16,
+               run_len0: int = 1 << 15, t_out: int = 1 << 16,
                local: str = "pallas",
                interpret: bool | None = None):
     """Unstable (key, id) sort of any n: pads to the next MULTIPLE of

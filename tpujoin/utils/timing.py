@@ -74,8 +74,14 @@ def time_fn(
     name: str = "op",
     bytes_touched: int = 0,
     rows: int = 0,
+    reduce: str = "median",
 ) -> PhaseStat:
-    """Median-of-iters wall time with full device synchronization."""
+    """Median-of-iters wall time with full device synchronization.
+    ``reduce="min"`` takes the minimum instead — the round-5 protocol for
+    perf COMPARISONS: the axon device/tunnel injects random multi-second
+    stalls (identical calls measured 0.48..8.1 s in one process) that
+    contaminate small-iters medians, while minima reproduce to ~2%
+    across sessions (CLAUDE.md)."""
     for _ in range(warmup):
         _sync(fn(*args))
     times = []
@@ -84,7 +90,8 @@ def time_fn(
         _sync(fn(*args))
         times.append(time.perf_counter() - t0)
     times.sort()
-    return PhaseStat(name, times[len(times) // 2], bytes_touched, rows)
+    pick = times[0] if reduce == "min" else times[len(times) // 2]
+    return PhaseStat(name, pick, bytes_touched, rows)
 
 
 class Timer:
